@@ -90,7 +90,7 @@ class VAEConfig:
     decoder_layers_per_block: Tuple[int, ...] = (3, 3, 3, 3)
     decoder_block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
     decoder_spatial_up_sample: Tuple[bool, ...] = (True, True, True, False)
-    decoder_temporal_up_sample: Tuple[bool, ...] = (False, True, True, True)
+    decoder_temporal_up_sample: Tuple[bool, ...] = (True, True, True, False)
     decoder_norm_num_groups: int = 32
 
     sample_size: int = 256

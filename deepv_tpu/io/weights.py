@@ -1,0 +1,151 @@
+"""Checkpoint I/O: HF-diffusers safetensors -> deepv_tpu parameter pytrees.
+
+The reference loads weights with diffusers ``from_pretrained`` from a local
+snapshot with subdirs ``transformer/``, ``causal_video_vae/``,
+``text_encoder{,_2,_3}/`` (ref pipeline.py:203-223, run.py:389-391). Our
+parameter pytrees were designed to mirror those module paths, so conversion
+is a mechanical re-keying — weights keep their torch layouts ([out, in]
+linears, [o, i, kt, kh, kw] convs) and the apply functions consume them via
+dimension numbers (see ops/basic.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MMDiTConfig, VAEConfig
+
+
+def _load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load (possibly sharded) .safetensors from a model subdir."""
+    from safetensors import safe_open
+
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {path}")
+    out = {}
+    for fname in files:
+        with safe_open(os.path.join(path, fname), framework="numpy") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+    return out
+
+
+def _set(tree: dict, dotted: str, value) -> None:
+    """Assign into a nested dict/list tree by a dotted path with int indices."""
+    parts = [int(p) if p.isdigit() else p for p in dotted.split(".")]
+    node = tree
+    for i, p in enumerate(parts[:-1]):
+        nxt_is_int = isinstance(parts[i + 1], int)
+        if isinstance(p, int):
+            while len(node) <= p:
+                node.append([] if nxt_is_int else {})
+            node = node[p]
+        else:
+            if p not in node:
+                node[p] = [] if nxt_is_int else {}
+            node = node[p]
+    last = parts[-1]
+    if isinstance(last, int):
+        while len(node) <= last:
+            node.append(None)
+        node[last] = value
+    else:
+        node[last] = value
+
+
+# --- torch checkpoint key -> our tree path rewriting -------------------------
+
+_MMDIT_RULES = [
+    (re.compile(r"\.net\.0\.proj\."), ".proj."),      # FeedForward GELU proj
+    (re.compile(r"\.net\.2\."), ".out."),              # FeedForward out linear
+    (re.compile(r"\.to_out\.0\."), ".to_out."),        # attention out (drop dropout idx)
+]
+
+_VAE_RULES = [
+    (re.compile(r"\.conv\.(weight|bias)$"), r".\1"),               # CausalConv3d wrapper
+    (re.compile(r"\.downsamplers\.0\."), ".downsampler."),
+    (re.compile(r"\.temporal_downsamplers\.0\."), ".temporal_downsampler."),
+    (re.compile(r"\.upsamplers\.0\."), ".upsampler."),
+    (re.compile(r"\.temporal_upsamplers\.0\."), ".temporal_upsampler."),
+    (re.compile(r"\.to_out\.0\."), ".to_out."),
+]
+
+
+def _rewrite(key: str, rules) -> str:
+    for pat, repl in rules:
+        key = pat.sub(repl, key)
+    return key
+
+
+def convert_mmdit_state(state: Dict[str, np.ndarray], dtype=jnp.bfloat16) -> dict:
+    tree: dict = {}
+    for k, v in state.items():
+        _set(tree, _rewrite(k, _MMDIT_RULES), jnp.asarray(v, dtype))
+    # pos_embed table is a persistent buffer [1, M*M, D]; keep fp32 copy
+    if "pos_embed" in tree and isinstance(tree["pos_embed"], dict) \
+            and "pos_embed" in tree["pos_embed"]:
+        tree["pos_embed"]["pos_embed"] = tree["pos_embed"]["pos_embed"].astype(jnp.float32)
+    return tree
+
+
+def convert_vae_state(state: Dict[str, np.ndarray], dtype=jnp.bfloat16) -> dict:
+    tree: dict = {}
+    for k, v in state.items():
+        k2 = _rewrite(k, _VAE_RULES)
+        # quant convs live beside encoder/decoder in the checkpoint; our tree
+        # nests them (encoder.quant_conv / decoder.post_quant_conv)
+        if k2.startswith("quant_conv."):
+            k2 = "encoder." + k2
+        elif k2.startswith("post_quant_conv."):
+            k2 = "decoder." + k2
+        _set(tree, k2, jnp.asarray(v, dtype))
+    return tree
+
+
+def load_checkpoint(model_path: str, dtype=jnp.bfloat16
+                    ) -> Tuple[MMDiTConfig, VAEConfig, dict]:
+    """Load a DeepVerse-format snapshot into (configs, params)."""
+    tdir = os.path.join(model_path, "transformer")
+    vdir = os.path.join(model_path, "causal_video_vae")
+    mcfg = MMDiTConfig.from_json(os.path.join(tdir, "config.json")) \
+        if os.path.exists(os.path.join(tdir, "config.json")) else MMDiTConfig()
+    vcfg = VAEConfig.from_json(os.path.join(vdir, "config.json")) \
+        if os.path.exists(os.path.join(vdir, "config.json")) else VAEConfig()
+    params = {
+        "mmdit": convert_mmdit_state(_load_safetensors_dir(tdir), dtype),
+        "vae": convert_vae_state(_load_safetensors_dir(vdir), dtype),
+    }
+    return mcfg, vcfg, params
+
+
+def random_params(mcfg: MMDiTConfig, vcfg: VAEConfig, dtype=jnp.bfloat16,
+                  seed: int = 0) -> dict:
+    import jax
+    from ..models.mmdit import init_mmdit_params
+    from ..models.vae import init_vae_params
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return {
+        "mmdit": init_mmdit_params(k1, mcfg, dtype=dtype),
+        "vae": init_vae_params(k2, vcfg, dtype=dtype),
+    }
+
+
+def convert_text_embeds_pt(pt_path: str, npz_path: str) -> None:
+    """Convert the reference's torch text-embed cache
+    (assets/text_embeds_len77.pt, ref pipeline.py:199) to our npz format."""
+    import torch
+    from .text_embeds import save_text_embeds
+
+    raw = torch.load(pt_path, map_location="cpu")
+    cache = {
+        prompt: {field: np.asarray(t.float().numpy()) for field, t in fields.items()}
+        for prompt, fields in raw.items()
+    }
+    save_text_embeds(npz_path, cache)

@@ -1,0 +1,473 @@
+"""Causal video VAE, functional and TPU-native.
+
+Capability parity with the reference ``CausalVideoVAE`` (ref vae.py:753-1014):
+a 3-level spatially (8x) and temporally (8x: 57 pixel frames <-> 8 latent
+frames) compressing KL autoencoder built from causal 3D convolutions, with
+
+  - temporal **chunked** encode/decode: the reference threads a mutable
+    per-layer deque of trailing activations (ref vae.py:225-252); here the
+    whole cache is an explicit pytree carried through pure per-window calls,
+    so each window is one jitted program and chunked == full bit-for-bit
+    (up to the usual float reassociation);
+  - spatial **tiling** with linearly blended seams (ref vae.py:954-1014),
+    kept for capability/memory parity but OFF by default on TPU — v5e HBM
+    fits the full 384x512 plane, and 25% tile overlap is pure wasted FLOPs;
+  - a diagonal Gaussian bottleneck (ref vae.py:602-628).
+
+Parameter pytrees mirror the checkpoint's module paths so conversion is a
+re-keying (see io/weights.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import VAEConfig
+from ..ops.basic import (group_norm, init_conv3d, init_linear, init_norm,
+                         linear, silu)
+from ..ops.causal_conv import causal_conv3d
+
+
+def _get(cache, key):
+    return None if cache is None else cache.get(key)
+
+
+def _idx(cache, i):
+    return None if cache is None else cache[i]
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def causal_group_norm(x: jnp.ndarray, num_groups: int, p: dict,
+                      cp_axis=None) -> jnp.ndarray:
+    """GroupNorm applied per frame (ref vae.py:161-167): statistics never
+    cross the time axis, which is what keeps chunked == full exact.
+
+    Under spatial context parallelism the per-group statistics are global
+    over H, so local sums are psum'd across the cp axis."""
+    b, c, t, h, w = x.shape
+    if cp_axis is None:
+        x2 = x.transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+        y = group_norm(x2, num_groups, p["weight"], p["bias"])
+        return y.reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)
+
+    g = num_groups
+    xf = x.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(b * t, g, c // g, h * w)
+    local_n = (c // g) * h * w
+    s = lax.psum(jnp.sum(xf, axis=(2, 3)), cp_axis)
+    ss = lax.psum(jnp.sum(jnp.square(xf), axis=(2, 3)), cp_axis)
+    n = local_n * lax.axis_size(cp_axis)
+    mean = (s / n)[:, :, None, None]
+    var = (ss / n)[:, :, None, None] - jnp.square(mean)
+    xf = (xf - mean) * lax.rsqrt(var + 1e-6)
+    xf = xf.reshape(b * t, c, h, w)
+    out = xf * p["weight"].astype(jnp.float32).reshape(1, c, 1, 1) \
+        + p["bias"].astype(jnp.float32).reshape(1, c, 1, 1)
+    return out.astype(x.dtype).reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)
+
+
+def resnet_apply(p: dict, x: jnp.ndarray, cache, mode: str, groups: int,
+                 cp_axis=None):
+    """CausalResnetBlock3D (ref vae.py:254-310)."""
+    h = causal_group_norm(x, groups, p["norm1"], cp_axis)
+    h = silu(h)
+    h, c1 = causal_conv3d(h, p["conv1"], _get(cache, "conv1"), mode=mode, cp_axis=cp_axis)
+    h = causal_group_norm(h, groups, p["norm2"], cp_axis)
+    h = silu(h)
+    h, c2 = causal_conv3d(h, p["conv2"], _get(cache, "conv2"), mode=mode, cp_axis=cp_axis)
+    if "conv_shortcut" in p:
+        x, _ = causal_conv3d(x, p["conv_shortcut"], None, mode=mode, cp_axis=cp_axis)
+    return x + h, {"conv1": c1, "conv2": c2}
+
+
+def attn2d_apply(p: dict, x: jnp.ndarray, groups: int, cp_axis=None) -> jnp.ndarray:
+    """Per-frame single-head spatial self-attention with residual
+    (ref vae.py:412-469 mid-block; diffusers Attention semantics:
+    group-norm -> qkv -> fp32 softmax -> out proj -> +residual).
+
+    Under spatial CP the mid block runs at the bottleneck resolution, so we
+    all_gather the rows, attend globally, and keep the local slice."""
+    if cp_axis is not None:
+        h_local = x.shape[3]
+        full = lax.all_gather(x, cp_axis, axis=3, tiled=True)
+        y = attn2d_apply(p, full, groups, None)
+        idx = lax.axis_index(cp_axis)
+        return lax.dynamic_slice_in_dim(y, idx * h_local, h_local, axis=3)
+    b, c, t, h, w = x.shape
+    x2 = x.transpose(0, 2, 1, 3, 4).reshape(b * t, c, h * w)
+    resid = x2
+    xn = group_norm(x2, groups, p["group_norm"]["weight"], p["group_norm"]["bias"])
+    xn = xn.transpose(0, 2, 1)  # [bt, hw, c]
+    q = linear(xn, p["to_q"])
+    k = linear(xn, p["to_k"])
+    v = linear(xn, p["to_v"])
+    scale = 1.0 / jnp.sqrt(jnp.float32(c))
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bqk,bkc->bqc", weights, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    out = linear(out, p["to_out"])
+    out = out.transpose(0, 2, 1) + resid
+    return out.reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)
+
+
+def midblock_apply(p: dict, x: jnp.ndarray, cache, mode: str, groups: int,
+                   cp_axis=None):
+    """CausalUNetMidBlock2D: resnet, then (attn, resnet) pairs (ref vae.py:459-469)."""
+    caches = []
+    x, c0 = resnet_apply(p["resnets"][0], x, _idx(_get(cache, "resnets"), 0),
+                         mode, groups, cp_axis)
+    caches.append(c0)
+    for i, attn in enumerate(p["attentions"]):
+        if attn is not None:
+            x = attn2d_apply(attn, x, groups, cp_axis)
+        x, ci = resnet_apply(p["resnets"][i + 1], x,
+                             _idx(_get(cache, "resnets"), i + 1), mode, groups, cp_axis)
+        caches.append(ci)
+    return x, {"resnets": caches}
+
+
+def spatial_down_apply(p: dict, x, cache, mode: str, cp_axis=None):
+    """CausalDownsample2x: causal conv stride (1,2,2) (ref vae.py:312-335)."""
+    return causal_conv3d(x, p, cache, mode=mode, stride=(1, 2, 2), cp_axis=cp_axis)
+
+
+def temporal_down_apply(p: dict, x, cache, mode: str, cp_axis=None):
+    """CausalTemporalDownsample2x: causal conv stride (2,1,1) (ref vae.py:337-357)."""
+    return causal_conv3d(x, p, cache, mode=mode, stride=(2, 1, 1), cp_axis=cp_axis)
+
+
+def spatial_up_apply(p: dict, x, cache, mode: str, cp_axis=None):
+    """CausalUpsample2x: conv to 4c then 2x2 pixel shuffle (ref vae.py:359-383)."""
+    y, c = causal_conv3d(x, p, cache, mode=mode, cp_axis=cp_axis)
+    b, c4, t, h, w = y.shape
+    y = y.reshape(b, c4 // 4, 2, 2, t, h, w)
+    y = y.transpose(0, 1, 4, 5, 2, 6, 3)  # b c t h p1 w p2
+    y = y.reshape(b, c4 // 4, t, h * 2, w * 2)
+    return y, c
+
+
+def temporal_up_apply(p: dict, x, cache, mode: str, cp_axis=None):
+    """CausalTemporalUpsample2x: conv to 2c, temporal unshuffle, drop the
+    duplicated first frame on the initial chunk (ref vae.py:385-410)."""
+    y, c = causal_conv3d(x, p, cache, mode=mode, cp_axis=cp_axis)
+    b, c2, t, h, w = y.shape
+    y = y.reshape(b, c2 // 2, 2, t, h, w)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, c2 // 2, t * 2, h, w)
+    if mode in ("full", "init"):
+        y = y[:, :, 1:]
+    return y, c
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder
+# ---------------------------------------------------------------------------
+
+def encoder_apply(cfg: VAEConfig, p: dict, x: jnp.ndarray, cache=None,
+                  mode: str = "full", cp_axis=None):
+    """CausalVaeEncoder + quant conv -> Gaussian moments (ref vae.py:630-689)."""
+    groups = cfg.encoder_norm_num_groups
+    caches = {}
+    x, caches["conv_in"] = causal_conv3d(x, p["conv_in"], _get(cache, "conv_in"),
+                                         mode=mode, cp_axis=cp_axis)
+
+    block_caches = []
+    for i in range(len(cfg.encoder_block_out_channels)):
+        bp = p["down_blocks"][i]
+        bc = _idx(_get(cache, "down_blocks"), i)
+        rcaches = []
+        for j in range(cfg.encoder_layers_per_block[i]):
+            x, rc = resnet_apply(bp["resnets"][j], x, _idx(_get(bc, "resnets"), j),
+                                 mode, groups, cp_axis)
+            rcaches.append(rc)
+        out = {"resnets": rcaches}
+        if cfg.encoder_spatial_down_sample[i]:
+            x, out["downsampler"] = spatial_down_apply(bp["downsampler"], x,
+                                                       _get(bc, "downsampler"), mode, cp_axis)
+        if cfg.encoder_temporal_down_sample[i]:
+            x, out["temporal_downsampler"] = temporal_down_apply(
+                bp["temporal_downsampler"], x, _get(bc, "temporal_downsampler"), mode, cp_axis)
+        block_caches.append(out)
+    caches["down_blocks"] = block_caches
+
+    x, caches["mid_block"] = midblock_apply(p["mid_block"], x, _get(cache, "mid_block"),
+                                            mode, groups, cp_axis)
+    x = causal_group_norm(x, groups, p["conv_norm_out"], cp_axis)
+    x = silu(x)
+    x, caches["conv_out"] = causal_conv3d(x, p["conv_out"], _get(cache, "conv_out"),
+                                          mode=mode, cp_axis=cp_axis)
+    moments, _ = causal_conv3d(x, p["quant_conv"], None, mode=mode, cp_axis=cp_axis)
+    return moments, caches
+
+
+def decoder_apply(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache=None,
+                  mode: str = "full", cp_axis=None):
+    """post-quant conv + CausalVaeDecoder -> sample (ref vae.py:691-751)."""
+    groups = cfg.decoder_norm_num_groups
+    caches = {}
+    z, _ = causal_conv3d(z, p["post_quant_conv"], None, mode=mode, cp_axis=cp_axis)
+    x, caches["conv_in"] = causal_conv3d(z, p["conv_in"], _get(cache, "conv_in"),
+                                         mode=mode, cp_axis=cp_axis)
+    x, caches["mid_block"] = midblock_apply(p["mid_block"], x, _get(cache, "mid_block"),
+                                            mode, groups, cp_axis)
+
+    block_caches = []
+    for i in range(len(cfg.decoder_block_out_channels)):
+        bp = p["up_blocks"][i]
+        bc = _idx(_get(cache, "up_blocks"), i)
+        rcaches = []
+        for j in range(cfg.decoder_layers_per_block[i]):
+            x, rc = resnet_apply(bp["resnets"][j], x, _idx(_get(bc, "resnets"), j),
+                                 mode, groups, cp_axis)
+            rcaches.append(rc)
+        out = {"resnets": rcaches}
+        if cfg.decoder_spatial_up_sample[i]:
+            x, out["upsampler"] = spatial_up_apply(bp["upsampler"], x,
+                                                   _get(bc, "upsampler"), mode, cp_axis)
+        if cfg.decoder_temporal_up_sample[i]:
+            x, out["temporal_upsampler"] = temporal_up_apply(
+                bp["temporal_upsampler"], x, _get(bc, "temporal_upsampler"), mode, cp_axis)
+        block_caches.append(out)
+    caches["up_blocks"] = block_caches
+
+    x = causal_group_norm(x, groups, p["conv_norm_out"], cp_axis)
+    x = silu(x)
+    x, caches["conv_out"] = causal_conv3d(x, p["conv_out"], _get(cache, "conv_out"),
+                                          mode=mode, cp_axis=cp_axis)
+    return x, caches
+
+
+# ---------------------------------------------------------------------------
+# Gaussian bottleneck (ref vae.py:602-628)
+# ---------------------------------------------------------------------------
+
+def gaussian_sample(moments: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    mean, logvar = jnp.split(moments, 2, axis=1)
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar.astype(jnp.float32)).astype(mean.dtype)
+    return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+def gaussian_mode(moments: jnp.ndarray) -> jnp.ndarray:
+    mean, _ = jnp.split(moments, 2, axis=1)
+    return mean
+
+
+# ---------------------------------------------------------------------------
+# chunked + tiled drivers
+# ---------------------------------------------------------------------------
+
+def _split_windows(t: int, window: int):
+    """Temporal window split [window+1, window, window, ..., rest]
+    (ref vae.py:866-876, 903-913)."""
+    init = window + 1
+    sizes = [min(init, t)]
+    fid = init
+    while fid + window <= t:
+        sizes.append(window)
+        fid += window
+    if fid < t:
+        sizes.append(t - fid)
+    return sizes
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mode"))
+def _enc_window(cfg, p, x, cache, mode):
+    return encoder_apply(cfg, p, x, cache, mode)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mode"))
+def _dec_window(cfg, p, z, cache, mode):
+    return decoder_apply(cfg, p, z, cache, mode)
+
+
+def chunk_encode(cfg: VAEConfig, p: dict, x: jnp.ndarray, window_size: int = 16):
+    """Temporal-chunked encode (ref vae.py:865-883)."""
+    sizes = _split_windows(x.shape[2], window_size)
+    outs, cache, fid = [], None, 0
+    for i, s in enumerate(sizes):
+        mode = "init" if i == 0 else "cont"
+        m, cache = _enc_window(cfg, p, x[:, :, fid:fid + s], cache, mode)
+        outs.append(m)
+        fid += s
+    return jnp.concatenate(outs, axis=2)
+
+
+def chunk_decode(cfg: VAEConfig, p: dict, z: jnp.ndarray, window_size: int = 2):
+    """Temporal-chunked decode (ref vae.py:902-920)."""
+    sizes = _split_windows(z.shape[2], window_size)
+    outs, cache, fid = [], None, 0
+    for i, s in enumerate(sizes):
+        mode = "init" if i == 0 else "cont"
+        d, cache = _dec_window(cfg, p, z[:, :, fid:fid + s], cache, mode)
+        outs.append(d)
+        fid += s
+    return jnp.concatenate(outs, axis=2)
+
+
+def _blend_v(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
+    """Blend top rows of b against bottom rows of a (ref vae.py:942-946),
+    vectorised over the seam."""
+    extent = min(a.shape[3], b.shape[3], extent)
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(1, 1, 1, extent, 1)
+    w = w.astype(a.dtype)
+    seam = a[:, :, :, -extent:, :] * (1 - w) + b[:, :, :, :extent, :] * w
+    return jnp.concatenate([seam, b[:, :, :, extent:, :]], axis=3)
+
+
+def _blend_h(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
+    extent = min(a.shape[4], b.shape[4], extent)
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(1, 1, 1, 1, extent)
+    w = w.astype(a.dtype)
+    seam = a[:, :, :, :, -extent:] * (1 - w) + b[:, :, :, :, :extent] * w
+    return jnp.concatenate([seam, b[:, :, :, :, extent:]], axis=4)
+
+
+def _tiled(x, core, in_unit: int, out_unit: int, overlap_factor: float):
+    """Shared tile loop (ref vae.py:954-1014): tile grid in input units,
+    seam blending and row cropping in output units."""
+    overlap = int(in_unit * (1 - overlap_factor))
+    blend = int(out_unit * overlap_factor)
+    row_limit = out_unit - blend
+    rows = []
+    for i in range(0, x.shape[3], overlap):
+        row = []
+        for j in range(0, x.shape[4], overlap):
+            tile = x[:, :, :, i:i + in_unit, j:j + in_unit]
+            row.append(core(tile))
+        rows.append(row)
+    result_rows = []
+    for i, row in enumerate(rows):
+        result = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend)
+            result.append(tile[:, :, :, :row_limit, :row_limit])
+        result_rows.append(jnp.concatenate(result, axis=4))
+    return jnp.concatenate(result_rows, axis=3)
+
+
+def vae_encode(cfg: VAEConfig, p: dict, x: jnp.ndarray, *,
+               temporal_chunk: bool = False, window_size: int = 16,
+               use_tiling: bool = False, tile_sample_min_size: int = 256) -> jnp.ndarray:
+    """Encode pixels [b,3,t,H,W] -> Gaussian moments [b,2z,t',H/8,W/8]
+    (ref vae.py:844-863)."""
+    pe = p["encoder"] if "encoder" in p else p
+    if use_tiling and (x.shape[-1] > tile_sample_min_size or x.shape[-2] > tile_sample_min_size):
+        latent_unit = tile_sample_min_size // cfg.downsample_scale
+        if temporal_chunk:
+            core = lambda t: chunk_encode(cfg, pe, t, window_size)
+        else:
+            core = lambda t: _enc_window(cfg, pe, t, None, "full")[0]
+        return _tiled(x, core, tile_sample_min_size, latent_unit, 0.25)
+    if temporal_chunk:
+        return chunk_encode(cfg, pe, x, window_size)
+    return _enc_window(cfg, pe, x, None, "full")[0]
+
+
+def vae_decode(cfg: VAEConfig, p: dict, z: jnp.ndarray, *,
+               temporal_chunk: bool = False, window_size: int = 2,
+               use_tiling: bool = False, tile_sample_min_size: int = 256) -> jnp.ndarray:
+    """Decode latents [b,z,t',h,w] -> pixels [b,3,t,8h,8w] (ref vae.py:885-900)."""
+    pd = p["decoder"] if "decoder" in p else p
+    tile_latent_min_size = tile_sample_min_size // cfg.downsample_scale
+    if use_tiling and (z.shape[-1] > tile_latent_min_size or z.shape[-2] > tile_latent_min_size):
+        if temporal_chunk:
+            core = lambda t: chunk_decode(cfg, pd, t, window_size)
+        else:
+            core = lambda t: _dec_window(cfg, pd, t, None, "full")[0]
+        return _tiled(z, core, tile_latent_min_size, tile_sample_min_size, 0.25)
+    if temporal_chunk:
+        return chunk_decode(cfg, pd, z, window_size)
+    return _dec_window(cfg, pd, z, None, "full")[0]
+
+
+# ---------------------------------------------------------------------------
+# parameter init (random; real use converts the reference checkpoint)
+# ---------------------------------------------------------------------------
+
+def _init_resnet(key, c_in, c_out, dtype):
+    ks = jax.random.split(key, 3)
+    p = {
+        "norm1": init_norm(c_in, dtype),
+        "conv1": init_conv3d(ks[0], c_in, c_out, 3, dtype=dtype),
+        "norm2": init_norm(c_out, dtype),
+        "conv2": init_conv3d(ks[1], c_out, c_out, 3, dtype=dtype),
+    }
+    if c_in != c_out:
+        p["conv_shortcut"] = init_conv3d(ks[2], c_in, c_out, 1, dtype=dtype)
+    return p
+
+
+def _init_midblock(key, ch, dtype):
+    ks = jax.random.split(key, 6)
+    attn = {
+        "group_norm": init_norm(ch, dtype),
+        "to_q": init_linear(ks[0], ch, ch, dtype=dtype),
+        "to_k": init_linear(ks[1], ch, ch, dtype=dtype),
+        "to_v": init_linear(ks[2], ch, ch, dtype=dtype),
+        "to_out": init_linear(ks[3], ch, ch, dtype=dtype),
+    }
+    return {
+        "resnets": [_init_resnet(ks[4], ch, ch, dtype), _init_resnet(ks[5], ch, ch, dtype)],
+        "attentions": [attn],
+    }
+
+
+def init_vae_params(key: jax.Array, cfg: VAEConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 256))
+    z = cfg.encoder_out_channels
+    ech = cfg.encoder_block_out_channels
+    p_enc = {"conv_in": init_conv3d(next(keys), cfg.encoder_in_channels, ech[0], 3, dtype=dtype)}
+    blocks = []
+    c_prev = ech[0]
+    for i, c_out in enumerate(ech):
+        b = {"resnets": []}
+        for j in range(cfg.encoder_layers_per_block[i]):
+            b["resnets"].append(_init_resnet(next(keys), c_prev if j == 0 else c_out, c_out, dtype))
+        if cfg.encoder_spatial_down_sample[i]:
+            b["downsampler"] = init_conv3d(next(keys), c_out, c_out, 3, dtype=dtype)
+        if cfg.encoder_temporal_down_sample[i]:
+            b["temporal_downsampler"] = init_conv3d(next(keys), c_out, c_out, 3, dtype=dtype)
+        blocks.append(b)
+        c_prev = c_out
+    p_enc["down_blocks"] = blocks
+    p_enc["mid_block"] = _init_midblock(next(keys), ech[-1], dtype)
+    p_enc["conv_norm_out"] = init_norm(ech[-1], dtype)
+    p_enc["conv_out"] = init_conv3d(next(keys), ech[-1], 2 * z, 3, dtype=dtype)
+    p_enc["quant_conv"] = init_conv3d(next(keys), 2 * z, 2 * z, 1, dtype=dtype)
+
+    dch = cfg.decoder_block_out_channels
+    rev = list(reversed(dch))
+    p_dec = {
+        "post_quant_conv": init_conv3d(next(keys), z, cfg.decoder_in_channels, 1, dtype=dtype),
+        "conv_in": init_conv3d(next(keys), cfg.decoder_in_channels, dch[-1], 3, dtype=dtype),
+        "mid_block": _init_midblock(next(keys), dch[-1], dtype),
+    }
+    blocks = []
+    c_prev = rev[0]
+    for i, c_out in enumerate(rev):
+        b = {"resnets": []}
+        for j in range(cfg.decoder_layers_per_block[i]):
+            b["resnets"].append(_init_resnet(next(keys), c_prev if j == 0 else c_out, c_out, dtype))
+        if cfg.decoder_spatial_up_sample[i]:
+            b["upsampler"] = init_conv3d(next(keys), c_out, 4 * c_out, 3, dtype=dtype)
+        if cfg.decoder_temporal_up_sample[i]:
+            b["temporal_upsampler"] = init_conv3d(next(keys), c_out, 2 * c_out, 3, dtype=dtype)
+        blocks.append(b)
+        c_prev = c_out
+    p_dec["up_blocks"] = blocks
+    p_dec["conv_norm_out"] = init_norm(dch[0], dtype)
+    p_dec["conv_out"] = init_conv3d(next(keys), dch[0], cfg.decoder_out_channels, 3, dtype=dtype)
+
+    return {"encoder": p_enc, "decoder": p_dec}

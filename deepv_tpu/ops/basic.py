@@ -26,7 +26,7 @@ def linear(x: jnp.ndarray, params: dict) -> jnp.ndarray:
     y = lax.dot_general(
         x, w,
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     ).astype(x.dtype)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"].astype(y.dtype)
@@ -99,7 +99,7 @@ def conv3d(x: jnp.ndarray, params: dict,
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     ).astype(x.dtype)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"].astype(y.dtype).reshape(1, -1, 1, 1, 1)
@@ -114,7 +114,7 @@ def conv2d(x: jnp.ndarray, params: dict, stride=(1, 1),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     ).astype(x.dtype)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"].astype(y.dtype).reshape(1, -1, 1, 1)

@@ -1,0 +1,110 @@
+"""Causal 3D convolution with functional temporal-cache state.
+
+The reference ``CausalConv3d`` (ref vae.py:169-252) pads only the temporal
+*past* (kernel-1 frames) and, in chunked mode, keeps a mutable per-layer
+deque of the last two input frames so consecutive temporal chunks are
+bit-identical to one full-sequence pass. Here the cache is an explicit value:
+every call takes and returns it, so chunked decode becomes a pure carry that
+can live inside jit without recompilation.
+
+Modes (static):
+  - ``full``: whole clip at once; temporal padding via the conv's padding
+    spec (never materialised).
+  - ``init``: first chunk of a chunked pass; same output as ``full`` but also
+    returns the cache = last 2 frames of the front-padded input
+    (ref vae.py:236-238).
+  - ``cont``: later chunk; prepends cached frames instead of padding
+    (ref vae.py:240-249): stride 1 / k=3 uses both cached frames, temporal
+    stride 2 / k=3 uses only the last one.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .basic import conv3d
+
+
+def _cp_halo_h(x: jnp.ndarray, axis_name: str, kh: int, stride_h: int) -> Tuple[jnp.ndarray, int]:
+    """Spatial (height) halo exchange for context-parallel convolution.
+
+    Each rank holds a contiguous H slice. For kernel 3 / stride 1 we need one
+    row from each neighbour; for stride 2 (even local H) only the top row.
+    ``ppermute`` zero-fills unaddressed destinations, which is exactly the
+    zero padding the edge ranks need — the idiomatic ICI equivalent of the
+    reference's isend/irecv ring (ref vae.py:87-111).
+
+    Returns the halo-extended rows and the amount of symmetric H padding the
+    conv should still apply (always 0 here for kh==3).
+    """
+    if kh == 1:
+        return x, kh // 2
+    assert kh == 3, "context parallel supports the VAE's k=1/k=3 kernels"
+    n = lax.axis_size(axis_name)
+    top = lax.ppermute(x[:, :, :, -1:], axis_name,
+                       [(i, i + 1) for i in range(n - 1)])
+    if stride_h == 1:
+        bot = lax.ppermute(x[:, :, :, :1], axis_name,
+                           [(i + 1, i) for i in range(n - 1)])
+        return jnp.concatenate([top, x, bot], axis=3), 0
+    # stride 2: windows start at even global rows; top halo only
+    return jnp.concatenate([top, x], axis=3), 0
+
+
+def causal_conv3d(
+    x: jnp.ndarray,
+    params: dict,
+    cache: Optional[jnp.ndarray],
+    *,
+    mode: str = "full",
+    stride: Tuple[int, int, int] = (1, 1, 1),
+    cp_axis: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Apply a causal conv3d. Returns ``(y, new_cache)``.
+
+    x: [b, c, t, h, w]; params['weight']: [co, ci, kt, kh, kw].
+    ``new_cache`` is None in ``full`` mode and for kt == 1 layers (their
+    output never depends on previous chunks).
+
+    ``cp_axis``: inside a shard_map over the height axis, exchange spatial
+    halos with neighbours instead of zero-padding H locally.
+    """
+    kt, kh, kw = params["weight"].shape[2:]
+    hp, wp = kh // 2, kw // 2
+    time_pad = kt - 1
+
+    if cp_axis is not None:
+        x, hp = _cp_halo_h(x, cp_axis, kh, stride[1])
+
+    if mode == "full" or kt == 1:
+        y = conv3d(x, params, stride=stride,
+                   padding=((time_pad, 0), (hp, hp), (wp, wp)))
+        return y, None
+
+    if mode == "init":
+        if time_pad > 0:
+            pad = jnp.zeros(x.shape[:2] + (time_pad,) + x.shape[3:], x.dtype)
+            xp = jnp.concatenate([pad, x], axis=2)
+        else:
+            xp = x
+        new_cache = xp[:, :, -2:]
+        y = conv3d(xp, params, stride=stride, padding=((0, 0), (hp, hp), (wp, wp)))
+        return y, new_cache
+
+    if mode == "cont":
+        assert cache is not None, "cont mode requires the previous chunk's cache"
+        if stride[0] == 1 and kt == 3:
+            xp = jnp.concatenate([cache, x], axis=2)
+        elif stride[0] == 2 and kt == 3:
+            xp = jnp.concatenate([cache[:, :, -1:], x], axis=2)
+        else:
+            xp = x
+        new_cache = xp[:, :, -2:]
+        y = conv3d(xp, params, stride=stride, padding=((0, 0), (hp, hp), (wp, wp)))
+        return y, new_cache
+
+    raise ValueError(f"unknown causal conv mode: {mode!r}")

@@ -20,8 +20,11 @@ import jax.numpy as jnp
 
 
 def down2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact 2x bilinear downsample == 2x2 mean pool (half-pixel centres)."""
+    """2x bilinear downsample; for even dims this is exactly 2x2 mean pooling
+    (half-pixel centres), odd dims fall back to the generic resize."""
     *lead, h, w = x.shape
+    if h % 2 or w % 2:
+        return resize_bilinear(x, (h // 2, w // 2))
     x = x.reshape(*lead, h // 2, 2, w // 2, 2)
     return x.mean(axis=(-3, -1))
 

@@ -1,0 +1,547 @@
+"""Chunked autoregressive world-model inference pipeline.
+
+Capability parity with the reference ``InferencePipeline`` (ref
+pipeline.py:166-753): a single conditioning image plus per-unit motion
+prompts rolls out RGB+disparity+raymap video in 57-frame chunks with a
+25-frame sliding overlap, per-unit pyramid flow-matching denoising, CFG
+batching (2 rows, or 3 with retrieved-history guidance), pose chaining, and
+camera-nearest-neighbour history retrieval.
+
+TPU-first structure:
+  - the per-stage denoise loop is ONE jitted program per clip layout —
+    ``lax.scan`` over the Euler steps with the MMDiT forward inside; the
+    past-condition pyramid enters as closure constants, only the noisy unit
+    is carried;
+  - inter-stage upsample+renoise is jitted with the closed-form block-noise
+    transform;
+  - all rollout state (carry-over latents, poses, disparities) stays on
+    device as jnp arrays; the host only sequences chunks and picks the
+    retrieved-history index (one scalar sync per chunk);
+  - RGB and disparity share batched VAE encode/decode calls (the reference
+    runs them serially, ref pipeline.py:695-696).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MMDiTConfig, PipelineConfig, VAEConfig
+from .models.mmdit import mmdit_forward
+from .models.scheduler import FlowMatchSchedule, euler_step
+from .models.vae import gaussian_sample, vae_decode, vae_encode
+from .ops.block_noise import sample_block_noise
+from .ops.resample import down2x_bilinear, up2x_nearest
+from .raymap import raymap_from_camera_batch, raymap_to_camera
+
+
+# ---------------------------------------------------------------------------
+# jitted cores
+# ---------------------------------------------------------------------------
+
+def _zero_depth_channels(x: jnp.ndarray) -> jnp.ndarray:
+    """no_need_depth: zero disparity+raymap channels (ref pipeline.py:476-478)."""
+    return x.at[:, 16:].set(0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("mcfg", "num_rows", "history_downsample_ratio", "zero_depth"))
+def _denoise_stage(mcfg: MMDiTConfig, params, conditions: Tuple[jnp.ndarray, ...],
+                   frame_times: Tuple[jnp.ndarray, ...], frame_valid: Tuple[jnp.ndarray, ...],
+                   latents: jnp.ndarray,
+                   text_embeds: jnp.ndarray, text_mask: jnp.ndarray, pooled: jnp.ndarray,
+                   timesteps: jnp.ndarray, dsigmas: jnp.ndarray,
+                   guidance: jnp.ndarray, history_scale: jnp.ndarray,
+                   history: Optional[jnp.ndarray], history_mask: Optional[jnp.ndarray],
+                   num_rows: int, history_downsample_ratio: int, zero_depth: bool):
+    """All Euler steps of one pyramid stage as a lax.scan
+    (ref pipeline.py:467-520, one reference step == one scan iteration).
+
+    Shape-stable: ``conditions`` are padded to a fixed clip structure with
+    dynamic ``frame_times``/``frame_valid``, so this compiles once per
+    (stage resolution, CFG row count) for the whole rollout.
+    """
+    conds = tuple(_zero_depth_channels(c) for c in conditions) if zero_depth else conditions
+
+    def body(lat, inp):
+        t, dsig = inp
+        model_in = jnp.concatenate([lat] * num_rows, axis=0)
+        if zero_depth:
+            model_in = _zero_depth_channels(model_in)
+        clips = list(conds) + [model_in]
+        v = mmdit_forward(mcfg, params, clips, text_embeds, text_mask, pooled,
+                          jnp.full((num_rows,), t, jnp.float32),
+                          history=history, history_mask=history_mask,
+                          history_downsample_ratio=history_downsample_ratio,
+                          frame_times=list(frame_times), frame_valid=list(frame_valid))
+        if num_rows == 2:
+            vu, vt = v[0:1], v[1:2]
+            v = vu + guidance * (vt - vu)
+        else:
+            vu, vt, vh = v[0:1], v[1:2], v[2:3]
+            v = vu + guidance * (vt - vu) + history_scale * (vh - vt)
+        # guidance scalars are f32; keep the scan carry in the model dtype
+        return euler_step(lat, v.astype(lat.dtype), dsig), None
+
+    out, _ = jax.lax.scan(body, latents, (timesteps, dsigmas))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("gamma",))
+def _upsample_renoise(latents: jnp.ndarray, key: jax.Array, alpha: float,
+                      beta: float, gamma: float) -> jnp.ndarray:
+    """Between stages: nearest 2x upsample + correlated block-noise renoising
+    (ref pipeline.py:452-465)."""
+    up = up2x_nearest(latents)
+    noise = sample_block_noise(key, up.shape, gamma, dtype=jnp.float32)
+    out = alpha * up.astype(jnp.float32) + beta * noise
+    return out.astype(latents.dtype)
+
+
+@jax.jit
+def _quantize_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 round trip the reference incurs by converting carry-over frames
+    through PIL (ref pipeline.py:338-343); kept for output parity."""
+    q = jnp.round(jnp.clip(x * 0.5 + 0.5, 0.0, 1.0) * 255.0) / 255.0
+    return (q * 2.0 - 1.0).astype(x.dtype)
+
+
+def _pyramid_list(x: jnp.ndarray, stage_num: int) -> List[jnp.ndarray]:
+    """Clean-latent pyramid, low -> high resolution (ref pipeline.py:226-240)."""
+    levels = [x]
+    for _ in range(stage_num):
+        b, c, t, h, w = x.shape
+        x = down2x_bilinear(x.reshape(b, c * t, h, w)).reshape(b, c, t, h // 2, w // 2)
+        levels.append(x)
+    return list(reversed(levels))
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+class InferencePipeline:
+    """DeepVerse-compatible inference pipeline over jax pytree params.
+
+    params: {"mmdit": ..., "vae": ...}; text_embeds maps a motion sentence to
+    {"prompt_embeds": [1,77,Dt], "prompt_attention_mask": [1,77],
+     "pooled_prompt_embeds": [1,Dp]} (the reference precomputed cache,
+    ref pipeline.py:199, 598-607). The negative prompt is ``'empty'``.
+    """
+
+    def __init__(self, cfg: PipelineConfig, mmdit_cfg: MMDiTConfig,
+                 vae_cfg: VAEConfig, params: Dict, text_embeds: Dict,
+                 dtype=jnp.bfloat16, use_tiling: bool = False,
+                 decode_window: int = 2, text_encoder=None):
+        self.cfg = cfg
+        self.mcfg = mmdit_cfg
+        self.vcfg = vae_cfg
+        self.params = params
+        self.text_embeds = text_embeds
+        self.dtype = dtype
+        self.use_tiling = use_tiling
+        self.decode_window = decode_window
+        self.text_encoder = text_encoder
+        self.schedule = FlowMatchSchedule(cfg.scheduler)
+        self.raymap_mean = jnp.asarray(cfg.raymap_mean, jnp.float32).reshape(1, 6, 1, 1, 1)
+        self.raymap_std = jnp.asarray(cfg.raymap_std, jnp.float32).reshape(1, 6, 1, 1, 1)
+
+    # -- helpers ------------------------------------------------------------
+
+    def _embeds_for(self, prompt: str):
+        if prompt in self.text_embeds:
+            e = self.text_embeds[prompt]
+            return (jnp.asarray(e["prompt_embeds"], self.dtype),
+                    jnp.asarray(e["prompt_attention_mask"], jnp.int32),
+                    jnp.asarray(e["pooled_prompt_embeds"], self.dtype))
+        if self.text_encoder is not None:
+            pe, mask, pooled = self.text_encoder(prompt)
+            return (pe.astype(self.dtype), mask.astype(jnp.int32), pooled.astype(self.dtype))
+        raise KeyError(
+            f"prompt {prompt!r} not in the precomputed text-embedding cache and no "
+            "live text encoder is configured")
+
+    def _norm_image_latent(self, lat: jnp.ndarray) -> jnp.ndarray:
+        """First latent frame uses image stats, the rest video stats
+        (ref pipeline.py:570-571)."""
+        c = self.cfg
+        first = (lat[:, :, :1] - c.vae_shift_factor) * c.vae_scale_factor
+        if lat.shape[2] == 1:
+            return first
+        rest = (lat[:, :, 1:] - c.vae_video_shift_factor) * c.vae_video_scale_factor
+        return jnp.concatenate([first, rest], axis=2)
+
+    def _encode_pixels(self, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        moments = vae_encode(self.vcfg, self.params["vae"], x.astype(self.dtype),
+                             use_tiling=self.use_tiling)
+        return gaussian_sample(moments, key)
+
+    def _decode_latents(self, lat: jnp.ndarray) -> jnp.ndarray:
+        """Un-normalise + chunked decode (ref pipeline.py:703-715)."""
+        c = self.cfg
+        if lat.shape[2] == 1:
+            lat = lat / c.vae_scale_factor + c.vae_shift_factor
+        else:
+            first = lat[:, :, :1] / c.vae_scale_factor + c.vae_shift_factor
+            rest = lat[:, :, 1:] / c.vae_video_scale_factor + c.vae_video_shift_factor
+            lat = jnp.concatenate([first, rest], axis=2)
+        return vae_decode(self.vcfg, self.params["vae"], lat.astype(self.dtype),
+                          temporal_chunk=True, window_size=self.decode_window,
+                          use_tiling=self.use_tiling)
+
+    # -- per-unit sampler (ref pipeline.py:439-524) --------------------------
+
+    def _padded_conditions(self, clean: List[jnp.ndarray], unit_index: int,
+                           firstframe_mask: bool, num_rows: int):
+        """Shape-stable past-condition pyramid.
+
+        Reference walk (ref pipeline.py:626-658) yields, per stage s:
+          s=0,1: [old@stage0 (u-1-fm frames), last@s, current]
+          s=2:   [old@stage0 (u-2-fm frames), mid@stage1 (if u-fm>=2), last@s, current]
+        We pad the old clip to a fixed ``max_temporal_length - 2`` frames and
+        keep the mid slot always present, with per-frame times/valid masking
+        the padding, so every unit index shares one compiled layout.
+        """
+        cfg = self.cfg
+        u, fm = unit_index, int(firstframe_mask)
+        t_old = cfg.max_temporal_length - 2
+        L = clean[0].shape[2]
+
+        def tile(x):
+            return jnp.concatenate([x] * num_rows, axis=0)
+
+        def pad_old(n_real: int):
+            """old clip container from clean[0][:, :, fm:fm+n_real], end-aligned."""
+            b, c, _, h, w = clean[0].shape
+            container = jnp.zeros((b, c, t_old, h, w), clean[0].dtype)
+            if n_real > 0:
+                container = container.at[:, :, t_old - n_real:].set(
+                    clean[0][:, :, fm:fm + n_real])
+            times = jnp.arange(t_old, dtype=jnp.float32) - (t_old - n_real)
+            valid = (jnp.arange(t_old) >= (t_old - n_real)).astype(jnp.int32)
+            return tile(container), times, valid
+
+        out = []
+        n_stages = len(cfg.stages)
+        for i_s in range(n_stages):
+            last = tile(clean[i_s][:, :, L - 1:L])
+            if i_s < n_stages - 1:
+                n_old = max(u - 1 - fm, 0)
+                old, ot, ov = pad_old(n_old)
+                clips = [old, last]
+                times = [ot, jnp.asarray([float(n_old)])]
+                valid = [ov, jnp.asarray([1], jnp.int32)]
+                cur_time = float(n_old + 1)
+            else:
+                mid_valid = 1 if (u - fm) >= 2 else 0
+                n_old = max(u - 2 - fm, 0)
+                old, ot, ov = pad_old(n_old)
+                if mid_valid:
+                    mid = tile(clean[i_s - 1][:, :, L - 2:L - 1])
+                else:
+                    mid = tile(jnp.zeros_like(clean[i_s - 1][:, :, :1]))
+                clips = [old, mid, last]
+                times = [ot, jnp.asarray([float(n_old)]),
+                         jnp.asarray([float(n_old + mid_valid)])]
+                valid = [ov, jnp.asarray([mid_valid], jnp.int32),
+                         jnp.asarray([1], jnp.int32)]
+                cur_time = float(n_old + mid_valid + 1)
+            times.append(jnp.asarray([cur_time]))
+            valid.append(jnp.asarray([1], jnp.int32))
+            out.append((tuple(clips), tuple(times), tuple(valid)))
+        return out
+
+    def _generate_one_unit(self, key, latents, input_history, past_conditions,
+                           text_embeds, text_mask, pooled, num_rows,
+                           guidance: float, history_scale: float):
+        cfg = self.cfg
+        intermed = []
+        hist = None
+        hist_mask = None
+        if input_history is not None:
+            hist = jnp.concatenate([input_history] * 3, axis=0).astype(self.dtype)
+            hlen = ((input_history.shape[-1] // cfg.history_downsample_ratio // self.mcfg.patch_size)
+                    * (input_history.shape[-2] // cfg.history_downsample_ratio // self.mcfg.patch_size))
+            hist_mask = jnp.concatenate([
+                jnp.zeros((2, hlen), jnp.int32), jnp.ones((1, hlen), jnp.int32)], axis=0)
+
+        for i_s in range(len(cfg.stages)):
+            ss = self.schedule.stage_schedule(cfg.num_inference_steps, i_s)
+            if i_s > 0:
+                alpha, beta = self.schedule.renoise_coeffs(i_s)
+                key, sub = jax.random.split(key)
+                latents = _upsample_renoise(latents, sub, alpha, beta,
+                                            gamma=cfg.scheduler.gamma)
+            clips, times, valid = past_conditions[i_s]
+            latents = _denoise_stage(
+                self.mcfg, self.params["mmdit"], clips, times, valid, latents,
+                text_embeds, text_mask, pooled,
+                jnp.asarray(ss.timesteps), jnp.asarray(ss.sigmas[1:] - ss.sigmas[:-1]),
+                jnp.float32(guidance), jnp.float32(history_scale),
+                hist, hist_mask,
+                num_rows=num_rows,
+                history_downsample_ratio=cfg.history_downsample_ratio,
+                zero_depth=cfg.no_need_depth)
+            intermed.append(latents)
+        return intermed
+
+    # -- per-chunk i2v (ref pipeline.py:526-700) ------------------------------
+
+    def generate_i2v(self, key, motion_prompt: Sequence[str], use_motion_prompt: bool,
+                     input_image: jnp.ndarray, input_disparity, input_raymap,
+                     input_history, guidance_scale: float = 4.0,
+                     video_guidance_scale: float = 3.5):
+        cfg, mcfg = self.cfg, self.mcfg
+        firstframe_mask = input_disparity is None
+        num_rows = 2 if input_history is None else 3
+        b, _, n_in, height, width = input_image.shape
+        ds = cfg.vae_downsample
+
+        temp = cfg.max_temporal_length + int(firstframe_mask)
+        key, k_lat, k_enc = jax.random.split(key, 3)
+        latents = jax.random.normal(
+            k_lat, (1, mcfg.in_channels, temp, height // ds, width // ds), self.dtype)
+        # downsample chain to stage-0 resolution with x2 compensation
+        # (ref pipeline.py:554-559)
+        lh, lw = height // ds, width // ds
+        for _ in range(len(cfg.stages) - 1):
+            bb, cc, tt, hh, ww = latents.shape
+            latents = (down2x_bilinear(latents.reshape(bb, cc * tt, hh, ww)) * 2.0
+                       ).reshape(bb, cc, tt, hh // 2, ww // 2)
+            lh, lw = lh // 2, lw // 2
+
+        # encode conditioning pixels; batch rgb+disparity when both present
+        if input_disparity is not None:
+            stacked = jnp.concatenate([input_image, input_disparity], axis=0)
+            enc = self._encode_pixels(stacked, k_enc)
+            img_lat, disp_lat = enc[:1], enc[1:2]
+            img_lat = self._norm_image_latent(img_lat)
+            disp_lat = self._norm_image_latent(disp_lat)
+        else:
+            img_lat = self._norm_image_latent(self._encode_pixels(input_image, k_enc))
+            disp_lat = jnp.zeros_like(img_lat)
+
+        if input_raymap is None:
+            raymap_lat = jnp.zeros(
+                (img_lat.shape[0], cfg.raymap_dim, 1) + img_lat.shape[3:], img_lat.dtype)
+        else:
+            raymap_lat = input_raymap.astype(self.dtype)
+        input_image_latent = jnp.concatenate([img_lat, disp_lat, raymap_lat], axis=1
+                                             ).astype(self.dtype)
+
+        generated = [input_image_latent]
+        num_units = temp // cfg.frame_per_unit
+        start_unit_index = 1 if firstframe_mask else (n_in - 1) // ds + 1
+
+        for unit_index in range(start_unit_index, num_units):
+            prompt = motion_prompt[unit_index - int(firstframe_mask)]
+            pe, pm, pp = self._embeds_for(prompt if use_motion_prompt else str(prompt))
+            ne, nm, npo = self._embeds_for("empty")
+            reps = num_rows - 1
+            text_embeds = jnp.concatenate([ne] + [pe] * reps, axis=0)
+            text_mask = jnp.concatenate([nm] + [pm] * reps, axis=0)
+            pooled = jnp.concatenate([npo] + [pp] * reps, axis=0)
+
+            clean = _pyramid_list(jnp.concatenate(generated, axis=2), len(cfg.stages) - 1)
+            past_conditions = self._padded_conditions(clean, unit_index,
+                                                      firstframe_mask, num_rows)
+
+            key, k_unit = jax.random.split(key)
+            cur = latents[:, :, unit_index * cfg.frame_per_unit:(unit_index + 1) * cfg.frame_per_unit]
+            intermed = self._generate_one_unit(
+                k_unit, cur, input_history, past_conditions,
+                text_embeds, text_mask, pooled, num_rows,
+                guidance=video_guidance_scale,
+                history_scale=cfg.history_guidance_scale)
+            generated.append(intermed[-1])
+
+        if firstframe_mask:
+            generated = generated[1:]
+        gen = jnp.concatenate(generated, axis=2)
+
+        n_ray = cfg.raymap_dim
+        lat_img, lat_disp = jnp.split(gen[:, :-n_ray], 2, axis=1)
+        gen_raymap = gen[:, -n_ray:].astype(jnp.float32) * self.raymap_std + self.raymap_mean
+        trans3d, trans2d = raymap_to_camera(gen_raymap[:, :, 1:],
+                                            append_first_reference=True,
+                                            from_relative_to_absolute=True,
+                                            vae_downsample=ds)
+
+        # batched rgb+disparity decode (reference decodes serially)
+        both = self._decode_latents(jnp.concatenate([lat_img, lat_disp], axis=0))
+        image, disparity = both[:1], both[1:2]
+        if cfg.no_need_depth:
+            disparity = jnp.zeros_like(disparity)
+        return image, disparity, trans3d, trans2d
+
+    # -- full rollout (ref pipeline.py:264-424) -------------------------------
+
+    def generate(self, batch: Dict, seed: int = 666,
+                 guidance_scale: float = 4.0, video_guidance_scale: float = 3.5) -> Dict:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(seed)
+
+        actual_frame = cfg.actual_frame
+        actual_unit = cfg.max_temporal_length
+        n_img, n_unit = cfg.num_input_image, cfg.num_input_unit
+
+        prompts = list(batch["prompt"])
+        while ((len(prompts) - actual_unit) % (actual_unit - n_unit) != 0
+               or len(prompts) < actual_unit):
+            prompts.append(prompts[-1])
+        total_iters = (len(prompts) - actual_unit) // (actual_unit - n_unit) + 1
+
+        use_motion = batch.get("prompt_type") == "action"
+        img = jnp.asarray(batch["img"])
+        if img.ndim == 3:      # [3, H, W]
+            img = img[None, :, None]
+        elif img.ndim == 4:    # [1, 3, H, W]
+            img = img[:, :, None]
+        input_image = img.astype(self.dtype)   # [1, 3, t, H, W] in [-1, 1]
+
+        images_list, disparity_list, trans3d_list, trans2d_list = [], [], [], []
+        motion_prompt_list: List[np.ndarray] = []
+        input_disparity = input_raymap = input_history = None
+        scale_factor = jnp.float32(1.0)
+        start_unit = 0
+
+        for now_iter in range(total_iters):
+            motion_prompt = [prompts[0]] + prompts[start_unit + 1: start_unit + actual_unit]
+
+            if input_raymap is not None:
+                input_raymap = (input_raymap - self.raymap_mean) / self.raymap_std
+
+            key, k_chunk = jax.random.split(key)
+            images, disparitys, trans3d, trans2d = self.generate_i2v(
+                k_chunk, motion_prompt, use_motion,
+                input_image, input_disparity, input_raymap, input_history,
+                guidance_scale=guidance_scale,
+                video_guidance_scale=video_guidance_scale)
+
+            # disparity post-map (ref pipeline.py:311-313)
+            disparitys = jnp.clip(
+                jnp.mean(disparitys, axis=1, keepdims=True) * 0.5 + 0.5, 0, 1)
+            disparitys = jnp.repeat(disparitys, 3, axis=1) ** 2
+            disparitys = disparitys / scale_factor / 0.95
+            trans3d = trans3d.at[:, :, :3, 3].multiply(scale_factor)
+
+            start_unit += actual_unit - n_unit
+
+            if now_iter == 0:
+                images_list.append(images)
+                disparity_list.append(disparitys)
+                motion_prompt_list.append(np.asarray(motion_prompt))
+                trans3d_list.append(trans3d)
+                trans2d_list.append(trans2d)
+            else:
+                images_list.append(images[:, :, n_img:])
+                disparity_list.append(disparitys[:, :, n_img:])
+                motion_prompt_list.append(np.asarray(motion_prompt[n_unit:]))
+                trans3d_pre = trans3d_list[-1][:, -n_unit]
+                trans3d = jnp.einsum("bij,btjk->btik", trans3d_pre, trans3d)
+                trans3d_list.append(trans3d[:, n_unit:])
+                trans2d_list.append(trans2d[:, n_unit:])
+
+            if now_iter == total_iters - 1:
+                break
+
+            # ---- prepare next-chunk conditioning (ref pipeline.py:337-411) --
+            input_image = _quantize_roundtrip(images[:, :, -n_img:])
+
+            input_disparity = disparitys[:, :, -n_img:]
+            if not cfg.no_need_depth:
+                scale_factor = 1.0 / jnp.max(input_disparity[:, :, 0])
+                input_disparity = input_disparity * scale_factor * 0.95
+                input_disparity = jnp.sqrt(input_disparity) * 2.0 - 1.0
+
+            cur_trans3d = jnp.concatenate(trans3d_list, axis=1)[:, -n_unit:]
+            ref_inv = jnp.linalg.inv(cur_trans3d[:, 0])
+            cur_trans3d = jnp.einsum("bij,btjk->btik", ref_inv, cur_trans3d)
+            # absolute -> consecutive relative (ref pipeline.py:357-358)
+            rel = [cur_trans3d[:, 0]]
+            for i in range(1, cur_trans3d.shape[1]):
+                rel.append(jnp.einsum("bij,bjk->bik",
+                                      jnp.linalg.inv(cur_trans3d[:, i - 1]), cur_trans3d[:, i]))
+            cur_trans3d = jnp.stack(rel, axis=1)
+            t3 = cur_trans3d[:, :, :3, 3] / scale_factor
+            cur_trans3d = cur_trans3d.at[:, :, :3, 3].set(
+                jnp.sign(t3) * jnp.sqrt(jnp.abs(t3)))
+
+            input_raymap = raymap_from_camera_batch(
+                jnp.concatenate(trans2d_list, axis=1)[:, -n_unit:],
+                cur_trans3d.astype(jnp.float32),
+                input_disparity.shape[-2:], vae_downsample=cfg.vae_downsample)
+            input_raymap = input_raymap.transpose(0, 2, 1, 3, 4)  # b t c h w -> b c t h w
+
+            input_history = self._retrieve_history(
+                key, images_list, disparity_list, trans3d_list, trans2d_list,
+                scale_factor, n_unit)
+            key, _ = jax.random.split(key)
+
+        out_images = jnp.concatenate(images_list, axis=2)
+        out_disp = jnp.concatenate(disparity_list, axis=2)
+        return {
+            "pred_img": out_images,
+            "pred_disparity": out_disp,
+            "motion_prompt_list": motion_prompt_list,
+            "trans3d": jnp.concatenate(trans3d_list, axis=1),
+            "trans2d": jnp.concatenate(trans2d_list, axis=1),
+        }
+
+    # -- history retrieval (ref pipeline.py:370-411) --------------------------
+
+    def _retrieve_history(self, key, images_list, disparity_list,
+                          trans3d_list, trans2d_list, scale_factor, n_unit):
+        cfg = self.cfg
+        ds = cfg.vae_downsample
+        cur_images = jnp.concatenate(images_list, axis=2)[:, :, ::ds]
+        cur_disparitys = jnp.concatenate(disparity_list, axis=2)[:, :, ::ds]
+        cur_trans3d = jnp.concatenate(trans3d_list, axis=1)
+        cur_trans2d = jnp.concatenate(trans2d_list, axis=1)
+        ref_inv = jnp.linalg.inv(cur_trans3d[:, -n_unit])
+        cur_trans3d = jnp.einsum("bij,btjk->btik", ref_inv, cur_trans3d)
+
+        c2w = cur_trans3d[0]
+        last_pos = c2w[-1, :3, 3]
+        last_fwd = c2w[-1, :3, 2]
+        distances = jnp.linalg.norm(c2w[:-1, :3, 3] - last_pos, axis=1)
+        k = min(5, distances.shape[0])
+        _, closest = jax.lax.top_k(-distances, k)
+        fwds = c2w[closest, :3, 2]
+        dots = jnp.sum(fwds * last_fwd, axis=1)
+        angles = jnp.arccos(jnp.clip(dots, -1.0, 1.0))
+        idx = int(closest[jnp.argmin(angles)])  # one host sync per chunk
+
+        cur_image = cur_images[:, :, idx:idx + 1]
+        cur_disparity = cur_disparitys[:, :, idx:idx + 1]
+        sel_trans3d = cur_trans3d[:, idx:idx + 1]
+        sel_trans2d = cur_trans2d[:, idx:idx + 1]
+
+        cur_disparity = jnp.sqrt(cur_disparity * scale_factor * 0.95)
+        cur_disparity = jnp.clip(cur_disparity * 2.0 - 1.0, -1.0, 1.0)
+        t3 = sel_trans3d[:, :, :3, 3] / scale_factor
+        sel_trans3d = sel_trans3d.at[:, :, :3, 3].set(jnp.sign(t3) * jnp.sqrt(jnp.abs(t3)))
+
+        cur_raymap = raymap_from_camera_batch(
+            sel_trans2d, sel_trans3d.astype(jnp.float32),
+            cur_disparity.shape[-2:], vae_downsample=ds)
+        cur_raymap = cur_raymap.transpose(0, 2, 1, 3, 4)
+        return self._history_vae_latent(key, cur_image, cur_disparity, cur_raymap)
+
+    def _history_vae_latent(self, key, rgb, disparity, raymap):
+        """(ref pipeline.py:242-262): encode rgb+disparity (batched), image
+        stats on the single frame, normalise the raymap."""
+        cfg = self.cfg
+        k1, _ = jax.random.split(key)
+        enc = self._encode_pixels(jnp.concatenate([rgb, disparity], axis=0).astype(self.dtype), k1)
+        video, disp = enc[:1], enc[1:2]
+        video = (video - cfg.vae_shift_factor) * cfg.vae_scale_factor
+        disp = (disp - cfg.vae_shift_factor) * cfg.vae_scale_factor
+        rm = raymap.astype(jnp.float32)
+        rm = rm.at[:, :3].set(rm[:, :3] / jnp.linalg.norm(rm[:, :3], axis=1, keepdims=True))
+        rm = (rm - self.raymap_mean) / self.raymap_std
+        return jnp.concatenate([video, disp, rm.astype(video.dtype)], axis=1)

@@ -1,0 +1,109 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: CP VAE equivalence,
+TP parameter sharding, DP x TP training dry run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepv_tpu.config import MMDiTConfig, VAEConfig
+from deepv_tpu.models.vae import decoder_apply, encoder_apply, init_vae_params
+from deepv_tpu.parallel.cp import cp_vae_decode, cp_vae_encode
+from deepv_tpu.parallel.mesh import make_mesh
+from deepv_tpu.parallel.tp import mmdit_param_spec, shard_mmdit_params
+
+CFG = VAEConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def vae_params():
+    return init_vae_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_cp_encode_matches_single_device(vae_params):
+    mesh = make_mesh((4,), ("cp",))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 9, 64, 32), jnp.float32)
+    single, _ = encoder_apply(CFG, vae_params["encoder"], x, mode="full")
+    sharded = cp_vae_encode(CFG, vae_params, x, mesh)
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=2e-3, rtol=1e-2)
+
+
+def test_cp_decode_matches_single_device(vae_params):
+    mesh = make_mesh((4,), ("cp",))
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, CFG.encoder_out_channels, 2, 8, 4))
+    single, _ = decoder_apply(CFG, vae_params["decoder"], z, mode="full")
+    sharded = cp_vae_decode(CFG, vae_params, z, mesh)
+    assert sharded.shape == single.shape
+    # f64 for exactness (random-weight groupnorm chains amplify f32 rounding)
+    with jax.enable_x64():
+        p64 = jax.tree.map(lambda a: a.astype(jnp.float64), vae_params)
+        z64 = z.astype(jnp.float64)
+        s64, _ = decoder_apply(CFG, p64["decoder"], z64, mode="full")
+        sh64 = cp_vae_decode(CFG, p64, z64, mesh)
+        np.testing.assert_allclose(np.asarray(sh64), np.asarray(s64), atol=1e-6)
+
+
+def test_cp_encode_exact_in_f64(vae_params):
+    mesh = make_mesh((8,), ("cp",))
+    with jax.enable_x64():
+        p64 = jax.tree.map(lambda a: a.astype(jnp.float64), vae_params)
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 9, 64, 32), jnp.float64)
+        single, _ = encoder_apply(CFG, p64["encoder"], x, mode="full")
+        sharded = cp_vae_encode(CFG, p64, x, mesh)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-6)
+
+
+def test_tp_param_specs():
+    from jax.sharding import PartitionSpec as P
+    cfg = MMDiTConfig.tiny()
+    from deepv_tpu.models.mmdit import init_mmdit_params
+    params = init_mmdit_params(jax.random.PRNGKey(0), cfg)
+    specs = jax.tree_util.tree_map_with_path(
+        lambda p, l: mmdit_param_spec(p, l), params)
+    b0 = specs["transformer_blocks"][0]
+    assert b0["attn"]["to_q"]["weight"] == P("tp", None)
+    assert b0["attn"]["to_out"]["weight"] == P(None, "tp")
+    assert b0["ff"]["proj"]["weight"] == P("tp", None)
+    assert b0["ff"]["out"]["weight"] == P(None, "tp")
+    assert b0["norm1"]["linear"]["weight"] == P()
+    assert specs["pos_embed"]["proj"]["weight"] == P()
+
+
+def test_tp_sharded_forward_matches_replicated():
+    from deepv_tpu.models.mmdit import init_mmdit_params, mmdit_forward
+    mesh = make_mesh((4,), ("tp",))
+    cfg = MMDiTConfig(
+        sample_size=16, patch_size=2, in_channels=6, num_layers=2,
+        attention_head_dim=8, num_attention_heads=4,
+        caption_projection_dim=32, pooled_projection_dim=16,
+        pos_embed_max_size=32, joint_attention_dim=24)
+    params = init_mmdit_params(jax.random.PRNGKey(0), cfg)
+    clips = [jax.random.normal(jax.random.PRNGKey(1), (2, 6, 1, 8, 8))]
+    text = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 24))
+    mask = jnp.ones((2, 7), jnp.int32)
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (2, 16))
+    t = jnp.full((2,), 500.0)
+
+    ref = mmdit_forward(cfg, params, clips, text, mask, pooled, t)
+    sharded = shard_mmdit_params(params, mesh, "tp")
+    with mesh:
+        out = jax.jit(lambda p: mmdit_forward(cfg, p, clips, text, mask, pooled, t))(sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_dryrun_dp_tp():
+    from deepv_tpu.parallel.dryrun import run_dryrun
+    loss = run_dryrun(8, verbose=False)
+    assert np.isfinite(loss)
+
+
+def test_graft_entry_compiles():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("graft_entry", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == 2 and np.isfinite(np.asarray(out, np.float32)).all()

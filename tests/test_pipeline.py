@@ -1,0 +1,125 @@
+"""End-to-end pipeline tests on tiny configs: single-chunk and multi-chunk
+rollouts, CFG row counts, disparity/pose chaining, history retrieval."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepv_tpu.actions import action_vocabulary, prepare_motion_prompts
+from deepv_tpu.config import MMDiTConfig, PipelineConfig, VAEConfig
+from deepv_tpu.io.text_embeds import (load_text_embeds, random_text_embeds,
+                                      save_text_embeds)
+from deepv_tpu.models.mmdit import init_mmdit_params
+from deepv_tpu.models.vae import init_vae_params
+from deepv_tpu.pipeline import InferencePipeline, _pyramid_list
+
+
+def tiny_pipeline(no_need_depth=False):
+    vcfg = VAEConfig.tiny()
+    # in_channels = 2*z + raymap = 2*4 + 6 = 14
+    mcfg = MMDiTConfig(
+        sample_size=16, patch_size=2, in_channels=14, num_layers=2,
+        attention_head_dim=8, num_attention_heads=4,
+        caption_projection_dim=32, pooled_projection_dim=16,
+        pos_embed_max_size=32, joint_attention_dim=24,
+    )
+    pcfg = PipelineConfig(no_need_depth=no_need_depth)
+    params = {
+        "mmdit": init_mmdit_params(jax.random.PRNGKey(0), mcfg),
+        "vae": init_vae_params(jax.random.PRNGKey(1), vcfg),
+    }
+    embeds = random_text_embeds(0, action_vocabulary(),
+                                joint_dim=mcfg.joint_attention_dim,
+                                pooled_dim=mcfg.pooled_projection_dim)
+    pipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=jnp.float32)
+    return pipe
+
+
+# px dims such that every pyramid stage stays patch-even:
+# latent = px/8 must be divisible by 4 (stages) * 2 (patch) = 8
+H, W = 64, 64
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return tiny_pipeline()
+
+
+def make_batch(prompt="(FN)(FN)(SR)(SL)(FN)(FN)(FN)"):
+    img = jax.random.uniform(jax.random.PRNGKey(7), (1, 3, H, W), minval=-1, maxval=1)
+    return {
+        "img": img,
+        "prompt": np.array(prepare_motion_prompts("action", prompt)),
+        "prompt_type": "action",
+    }
+
+
+def test_single_chunk_rollout(pipe):
+    out = pipe.generate(make_batch(), seed=1)
+    # 8 units -> 57 frames at H x W
+    assert out["pred_img"].shape == (1, 3, 57, H, W)
+    assert out["pred_disparity"].shape == (1, 3, 57, H, W)
+    assert out["trans3d"].shape == (1, 8, 4, 4)
+    assert out["trans2d"].shape == (1, 8, 4, 4)
+    assert np.isfinite(np.asarray(out["pred_img"], np.float32)).all()
+    assert np.isfinite(np.asarray(out["trans3d"], np.float32)).all()
+    # disparity is the post-mapped square: non-negative
+    assert float(out["pred_disparity"].min()) >= 0.0
+    # first pose is the appended identity reference
+    np.testing.assert_allclose(np.asarray(out["trans3d"][0, 0]), np.eye(4), atol=1e-5)
+
+
+def test_multi_chunk_rollout_with_history(pipe):
+    # 11 action units -> padded to 12 -> 2 chunks; second chunk uses
+    # 3-row CFG with retrieved history (ref pipeline.py:276-279)
+    out = pipe.generate(make_batch("(FN)(FN)(FN)(FN)(FN)(FN)(FN)(fRL)(SR)(BL)(FN)"), seed=2)
+    # 57 + (57 - 25) = 89 frames; 8 + 4 units
+    assert out["pred_img"].shape == (1, 3, 89, H, W)
+    assert out["trans3d"].shape == (1, 12, 4, 4)
+    assert len(out["motion_prompt_list"]) == 2
+    assert len(out["motion_prompt_list"][0]) == 8
+    assert len(out["motion_prompt_list"][1]) == 4
+    assert np.isfinite(np.asarray(out["pred_img"], np.float32)).all()
+
+
+def test_prompt_padding_rule(pipe):
+    # 3 units pad up to 8 (single chunk)
+    out = pipe.generate(make_batch("(FN)(FN)"), seed=3)
+    assert out["pred_img"].shape[2] == 57
+
+
+def test_no_need_depth(tmp_path):
+    pipe = tiny_pipeline(no_need_depth=True)
+    out = pipe.generate(make_batch(), seed=4)
+    # the decoded disparity is zeroed (ref pipeline.py:697-698); the pipeline
+    # post-map (x*0.5+0.5)^2/0.95 turns that into the constant 0.25/0.95
+    disp = np.asarray(out["pred_disparity"])
+    np.testing.assert_allclose(disp, 0.25 / 0.95, atol=1e-6)
+    assert np.isfinite(np.asarray(out["pred_img"], np.float32)).all()
+
+
+def test_pyramid_list_shapes():
+    x = jnp.ones((1, 4, 3, 16, 16))
+    levels = _pyramid_list(x, 2)
+    assert [l.shape[-1] for l in levels] == [4, 8, 16]
+    assert levels[2].shape == x.shape
+
+
+def test_text_embeds_roundtrip(tmp_path):
+    cache = random_text_embeds(0, ["a", "b c"])
+    p = str(tmp_path / "embeds.npz")
+    save_text_embeds(p, cache)
+    loaded = load_text_embeds(p)
+    assert set(loaded) == set(cache)
+    for k in cache:
+        for f in cache[k]:
+            np.testing.assert_array_equal(loaded[k][f], cache[k][f])
+
+
+def test_missing_prompt_raises(pipe):
+    batch = make_batch()
+    batch["prompt"] = np.array(["a prompt not in the cache"] * 8)
+    batch["prompt_type"] = "text"
+    with pytest.raises(KeyError):
+        pipe.generate(batch, seed=5)
