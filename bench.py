@@ -31,6 +31,12 @@ import jax
 import jax.numpy as jnp
 
 
+def sync(x) -> float:
+    """Force completion: on-device scalar reduce + fetch. (block_until_ready
+    is a no-op on the axon tunnel backend — see CLAUDE.md.)"""
+    return float(jnp.mean(jnp.asarray(x).astype(jnp.float32)))
+
+
 def fast_params(mcfg, vcfg, dtype):
     """Constant-initialised full parameter tree: shapes identical to real
     weights, creation cost near zero (one fused program)."""
@@ -78,7 +84,7 @@ def main():
 
     t0 = time.time()
     params = fast_params(mcfg, vcfg, dtype)
-    jax.block_until_ready(params)
+    sync(jax.tree.leaves(params)[0])
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"[bench] params ready ({n_params/1e9:.2f}B) in {time.time()-t0:.1f}s",
           file=sys.stderr)
@@ -86,7 +92,9 @@ def main():
     embeds = random_text_embeds(0, action_vocabulary(),
                                 joint_dim=mcfg.joint_attention_dim,
                                 pooled_dim=mcfg.pooled_projection_dim)
-    pipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype)
+    pipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
+                             decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "1")),
+                             decode_batched=(preset == "tiny"))
 
     img = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, H, W),
                              minval=-1.0, maxval=1.0)
@@ -96,7 +104,8 @@ def main():
 
     t0 = time.time()
     out = pipe.generate(batch, seed=0)
-    jax.block_until_ready(out["pred_img"])
+    sync(out["pred_img"])
+    sync(out["pred_disparity"])
     warm = time.time() - t0
     frames = int(out["pred_img"].shape[2])
     print(f"[bench] warmup chunk ({frames} frames): {warm:.1f}s (incl. compile)",
@@ -105,7 +114,8 @@ def main():
     t0 = time.time()
     for i in range(n_chunks):
         out = pipe.generate(batch, seed=i + 1)
-        jax.block_until_ready(out["pred_img"])
+        sync(out["pred_img"])
+        sync(out["pred_disparity"])
     dt = (time.time() - t0) / n_chunks
     fps = frames / dt
     print(f"[bench] steady chunk: {dt:.2f}s -> {fps:.2f} frames/s", file=sys.stderr)

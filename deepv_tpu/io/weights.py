@@ -70,10 +70,11 @@ _MMDIT_RULES = [
 
 _VAE_RULES = [
     (re.compile(r"\.conv\.(weight|bias)$"), r".\1"),               # CausalConv3d wrapper
-    (re.compile(r"\.downsamplers\.0\."), ".downsampler."),
-    (re.compile(r"\.temporal_downsamplers\.0\."), ".temporal_downsampler."),
-    (re.compile(r"\.upsamplers\.0\."), ".upsampler."),
-    (re.compile(r"\.temporal_upsamplers\.0\."), ".temporal_upsampler."),
+    # re/down/up-samplers wrap their conv as an attribute named ``conv``
+    (re.compile(r"\.downsamplers\.0\.conv\."), ".downsampler."),
+    (re.compile(r"\.temporal_downsamplers\.0\.conv\."), ".temporal_downsampler."),
+    (re.compile(r"\.upsamplers\.0\.conv\."), ".upsampler."),
+    (re.compile(r"\.temporal_upsamplers\.0\.conv\."), ".temporal_upsampler."),
     (re.compile(r"\.to_out\.0\."), ".to_out."),
 ]
 

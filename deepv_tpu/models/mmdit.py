@@ -33,6 +33,7 @@ from ..config import MMDiTConfig
 from ..ops.basic import (gelu_tanh, init_linear, init_norm, layer_norm, linear,
                          rms_norm, silu)
 from ..ops.resample import down2x_bilinear, resize_bilinear
+from ..ops.attention import attention_pallas
 from ..ops.rope import apply_rope, rope_tables, rope_tables_jax
 
 
@@ -236,11 +237,16 @@ def _ff(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def joint_attention(cfg: MMDiTConfig, p: dict, hidden: jnp.ndarray,
-                    ctx: jnp.ndarray, bias: jnp.ndarray,
+                    ctx: jnp.ndarray, mask_ctx,
                     rope_cos: jnp.ndarray, rope_sin: jnp.ndarray,
                     context_pre_only: bool):
     """Joint text+video attention over the packed sequence
-    (ref mmdit.py:259-324 + 122-180). ctx tokens lead the sequence."""
+    (ref mmdit.py:259-324 + 122-180). ctx tokens lead the sequence.
+
+    ``mask_ctx`` is either ("bias", [b,1,S,S] additive bias) — the jnp path —
+    or ("pallas", valid [b,S] i32, times [S] f32) for the fused TPU kernel
+    that rebuilds the mask on the fly (ops/attention.py).
+    """
     b, lv, d = hidden.shape
     lc = ctx.shape[1]
     nh = cfg.num_attention_heads
@@ -265,15 +271,20 @@ def joint_attention(cfg: MMDiTConfig, p: dict, hidden: jnp.ndarray,
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
 
-    # [b, h, s, s] logits in fp32 with additive mask bias
-    scale = 1.0 / math.sqrt(hd)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    logits = logits + bias
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
-                     preferred_element_type=jnp.float32).astype(v.dtype)
-    out = out.reshape(b, lc + lv, nh * hd)
+    if mask_ctx[0] == "pallas":
+        _, valid, times = mask_ctx
+        out = attention_pallas(q, k, v, valid, times)
+        out = out.reshape(b, lc + lv, nh * hd)
+    else:
+        bias = mask_ctx[1]
+        scale = 1.0 / math.sqrt(hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + bias
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out = out.reshape(b, lc + lv, nh * hd)
 
     ctx_out, vid_out = out[:, :lc], out[:, lc:]
     vid_out = linear(vid_out, p["to_out"])
@@ -283,7 +294,7 @@ def joint_attention(cfg: MMDiTConfig, p: dict, hidden: jnp.ndarray,
 
 
 def joint_block(cfg: MMDiTConfig, p: dict, hidden: jnp.ndarray, ctx: jnp.ndarray,
-                temb: jnp.ndarray, bias: jnp.ndarray,
+                temb: jnp.ndarray, mask_ctx,
                 rope_cos: jnp.ndarray, rope_sin: jnp.ndarray,
                 context_pre_only: bool):
     """JointTransformerBlock (ref mmdit.py:327-433)."""
@@ -294,7 +305,7 @@ def joint_block(cfg: MMDiTConfig, p: dict, hidden: jnp.ndarray, ctx: jnp.ndarray
         cn, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = _adaln_zero(
             p["norm1_context"], ctx, temb)
 
-    attn_out, ctx_attn = joint_attention(cfg, p["attn"], hn, cn, bias,
+    attn_out, ctx_attn = joint_attention(cfg, p["attn"], hn, cn, mask_ctx,
                                          rope_cos, rope_sin, context_pre_only)
     hidden = hidden + gate_msa * attn_out
     hn2 = layer_norm(hidden) * (1 + scale_mlp) + shift_mlp
@@ -320,7 +331,8 @@ def mmdit_forward(cfg: MMDiTConfig, params: dict,
                   history_mask: Optional[jnp.ndarray] = None,
                   history_downsample_ratio: int = 2,
                   frame_times: Optional[List[jnp.ndarray]] = None,
-                  frame_valid: Optional[List[jnp.ndarray]] = None) -> jnp.ndarray:
+                  frame_valid: Optional[List[jnp.ndarray]] = None,
+                  attn_impl: str = "ref") -> jnp.ndarray:
     """One denoise forward over a packed clip list (ref mmdit.py:1467-1530).
 
     clips: oldest -> newest, each [b, c, t, h, w]; the velocity for the LAST
@@ -369,17 +381,21 @@ def mmdit_forward(cfg: MMDiTConfig, params: dict,
     else:
         layout = PackedLayout(cfg, [tuple(c.shape[2:]) for c in clips], ctx.shape[1])
         causal = layout.causal
+        times = jnp.asarray(layout.time_ids)
         rope_cos, rope_sin = layout.rope_cos, layout.rope_sin
         b_rows = ctx.shape[0]
         vvalid = jnp.ones((b_rows, layout.video_len), ctx_valid.dtype)
         valid = jnp.concatenate([ctx_valid, vvalid], axis=1)
-    bias = build_attention_bias(valid, causal)
+    if attn_impl == "pallas":
+        mask_ctx = ("pallas", valid.astype(jnp.int32), times.astype(jnp.float32))
+    else:
+        mask_ctx = ("ref", build_attention_bias(valid, causal))
 
     hidden = embed_clips(cfg, params["pos_embed"], clips)
 
     n = len(params["transformer_blocks"])
     for i, bp in enumerate(params["transformer_blocks"]):
-        hidden, ctx = joint_block(cfg, bp, hidden, ctx, temb, bias,
+        hidden, ctx = joint_block(cfg, bp, hidden, ctx, temb, mask_ctx,
                                   rope_cos, rope_sin,
                                   context_pre_only=(i == n - 1))
 

@@ -38,6 +38,7 @@ from .models.vae import gaussian_sample, vae_decode, vae_encode
 from .ops.block_noise import sample_block_noise
 from .ops.resample import down2x_bilinear, up2x_nearest
 from .raymap import raymap_from_camera_batch, raymap_to_camera
+from .utils.profiling import PhaseTimer, force_completion
 
 
 # ---------------------------------------------------------------------------
@@ -49,7 +50,7 @@ def _zero_depth_channels(x: jnp.ndarray) -> jnp.ndarray:
     return x.at[:, 16:].set(0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("mcfg", "num_rows", "history_downsample_ratio", "zero_depth"))
+@functools.partial(jax.jit, static_argnames=("mcfg", "num_rows", "history_downsample_ratio", "zero_depth", "attn_impl"))
 def _denoise_stage(mcfg: MMDiTConfig, params, conditions: Tuple[jnp.ndarray, ...],
                    frame_times: Tuple[jnp.ndarray, ...], frame_valid: Tuple[jnp.ndarray, ...],
                    latents: jnp.ndarray,
@@ -57,7 +58,8 @@ def _denoise_stage(mcfg: MMDiTConfig, params, conditions: Tuple[jnp.ndarray, ...
                    timesteps: jnp.ndarray, dsigmas: jnp.ndarray,
                    guidance: jnp.ndarray, history_scale: jnp.ndarray,
                    history: Optional[jnp.ndarray], history_mask: Optional[jnp.ndarray],
-                   num_rows: int, history_downsample_ratio: int, zero_depth: bool):
+                   num_rows: int, history_downsample_ratio: int, zero_depth: bool,
+                   attn_impl: str = "ref"):
     """All Euler steps of one pyramid stage as a lax.scan
     (ref pipeline.py:467-520, one reference step == one scan iteration).
 
@@ -77,7 +79,8 @@ def _denoise_stage(mcfg: MMDiTConfig, params, conditions: Tuple[jnp.ndarray, ...
                           jnp.full((num_rows,), t, jnp.float32),
                           history=history, history_mask=history_mask,
                           history_downsample_ratio=history_downsample_ratio,
-                          frame_times=list(frame_times), frame_valid=list(frame_valid))
+                          frame_times=list(frame_times), frame_valid=list(frame_valid),
+                          attn_impl=attn_impl)
         if num_rows == 2:
             vu, vt = v[0:1], v[1:2]
             v = vu + guidance * (vt - vu)
@@ -136,7 +139,8 @@ class InferencePipeline:
     def __init__(self, cfg: PipelineConfig, mmdit_cfg: MMDiTConfig,
                  vae_cfg: VAEConfig, params: Dict, text_embeds: Dict,
                  dtype=jnp.bfloat16, use_tiling: bool = False,
-                 decode_window: int = 2, text_encoder=None):
+                 decode_window: int = 2, decode_batched: bool = True,
+                 text_encoder=None):
         self.cfg = cfg
         self.mcfg = mmdit_cfg
         self.vcfg = vae_cfg
@@ -145,8 +149,17 @@ class InferencePipeline:
         self.dtype = dtype
         self.use_tiling = use_tiling
         self.decode_window = decode_window
+        self.decode_batched = decode_batched
         self.text_encoder = text_encoder
         self.schedule = FlowMatchSchedule(cfg.scheduler)
+        # fused Pallas attention on TPU; jnp reference elsewhere
+        leaf = jax.tree.leaves(params["mmdit"])[0]
+        try:
+            platform = next(iter(leaf.devices())).platform
+        except Exception:
+            platform = jax.default_backend()
+        self.attn_impl = "pallas" if platform == "tpu" else "ref"
+        self.timer: PhaseTimer = PhaseTimer(sync=False)  # opt-in observability
         self.raymap_mean = jnp.asarray(cfg.raymap_mean, jnp.float32).reshape(1, 6, 1, 1, 1)
         self.raymap_std = jnp.asarray(cfg.raymap_std, jnp.float32).reshape(1, 6, 1, 1, 1)
 
@@ -176,7 +189,11 @@ class InferencePipeline:
         return jnp.concatenate([first, rest], axis=2)
 
     def _encode_pixels(self, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        # temporal chunking bounds encoder activations for the 25-frame
+        # carry-over encodes (the reference bounds memory with spatial tiling
+        # instead, ref pipeline.py:215; chunked == full exactly)
         moments = vae_encode(self.vcfg, self.params["vae"], x.astype(self.dtype),
+                             temporal_chunk=x.shape[2] > 17, window_size=16,
                              use_tiling=self.use_tiling)
         return gaussian_sample(moments, key)
 
@@ -285,7 +302,8 @@ class InferencePipeline:
                 hist, hist_mask,
                 num_rows=num_rows,
                 history_downsample_ratio=cfg.history_downsample_ratio,
-                zero_depth=cfg.no_need_depth)
+                zero_depth=cfg.no_need_depth,
+                attn_impl=self.attn_impl)
             intermed.append(latents)
         return intermed
 
@@ -315,15 +333,16 @@ class InferencePipeline:
             lh, lw = lh // 2, lw // 2
 
         # encode conditioning pixels; batch rgb+disparity when both present
-        if input_disparity is not None:
-            stacked = jnp.concatenate([input_image, input_disparity], axis=0)
-            enc = self._encode_pixels(stacked, k_enc)
-            img_lat, disp_lat = enc[:1], enc[1:2]
-            img_lat = self._norm_image_latent(img_lat)
-            disp_lat = self._norm_image_latent(disp_lat)
-        else:
-            img_lat = self._norm_image_latent(self._encode_pixels(input_image, k_enc))
-            disp_lat = jnp.zeros_like(img_lat)
+        with self.timer.phase("vae_encode"):
+            if input_disparity is not None:
+                stacked = jnp.concatenate([input_image, input_disparity], axis=0)
+                enc = self._encode_pixels(stacked, k_enc)
+                img_lat, disp_lat = enc[:1], enc[1:2]
+                img_lat = self._norm_image_latent(img_lat)
+                disp_lat = self._norm_image_latent(disp_lat)
+            else:
+                img_lat = self._norm_image_latent(self._encode_pixels(input_image, k_enc))
+                disp_lat = jnp.zeros_like(img_lat)
 
         if input_raymap is None:
             raymap_lat = jnp.zeros(
@@ -352,11 +371,14 @@ class InferencePipeline:
 
             key, k_unit = jax.random.split(key)
             cur = latents[:, :, unit_index * cfg.frame_per_unit:(unit_index + 1) * cfg.frame_per_unit]
-            intermed = self._generate_one_unit(
-                k_unit, cur, input_history, past_conditions,
-                text_embeds, text_mask, pooled, num_rows,
-                guidance=video_guidance_scale,
-                history_scale=cfg.history_guidance_scale)
+            with self.timer.phase("denoise_unit"):
+                intermed = self._generate_one_unit(
+                    k_unit, cur, input_history, past_conditions,
+                    text_embeds, text_mask, pooled, num_rows,
+                    guidance=video_guidance_scale,
+                    history_scale=cfg.history_guidance_scale)
+                if self.timer.sync:
+                    force_completion(intermed[-1])
             generated.append(intermed[-1])
 
         if firstframe_mask:
@@ -371,9 +393,18 @@ class InferencePipeline:
                                             from_relative_to_absolute=True,
                                             vae_downsample=ds)
 
-        # batched rgb+disparity decode (reference decodes serially)
-        both = self._decode_latents(jnp.concatenate([lat_img, lat_disp], axis=0))
-        image, disparity = both[:1], both[1:2]
+        # decode rgb+disparity; batched when the working set fits HBM
+        # (full-size deployment: sequential — decoder temps at batch 2 exceed
+        # the headroom left by the resident DiT params)
+        with self.timer.phase("vae_decode"):
+            if self.decode_batched:
+                both = self._decode_latents(jnp.concatenate([lat_img, lat_disp], axis=0))
+                image, disparity = both[:1], both[1:2]
+            else:
+                image = self._decode_latents(lat_img)
+                disparity = self._decode_latents(lat_disp)
+            if self.timer.sync:
+                force_completion(disparity)
         if cfg.no_need_depth:
             disparity = jnp.zeros_like(disparity)
         return image, disparity, trans3d, trans2d

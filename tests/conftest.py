@@ -32,7 +32,8 @@ assert len(CPU_DEVICES) >= 8, (
     "applied after the CPU client initialised")
 
 
-@pytest.fixture(autouse=True)
+@pytest.fixture(autouse=True, scope="session")
 def _pin_cpu():
+    # session-scoped so it activates before any module-scoped model fixture
     with jax.default_device(CPU_DEVICES[0]):
         yield

@@ -1,0 +1,50 @@
+"""Fused packed-attention kernel vs the jnp reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepv_tpu.ops.attention import attention_pallas, attention_reference
+
+
+def make(b=2, s=70, h=3, d=16, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, h, d), jnp.float32)
+    # ctx tokens (time 0) with some masked; then 4 frames of video tokens
+    valid = np.ones((b, s), np.int32)
+    valid[:, 8:12] = 0  # masked ctx
+    times = np.zeros(s, np.float32)
+    n_ctx = 14
+    per = (s - n_ctx) // 4
+    for f in range(4):
+        times[n_ctx + f * per: n_ctx + (f + 1) * per] = f
+    times[n_ctx + 4 * per:] = 3
+    return q, k, v, jnp.asarray(valid), jnp.asarray(times)
+
+
+def test_pallas_matches_reference():
+    q, k, v, valid, times = make()
+    ref = attention_reference(q, k, v, valid, times)
+    out = attention_pallas(q, k, v, valid, times, block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_padding_isolated():
+    """Sequence padding (to the q-block multiple) must not leak into real
+    tokens: compare s=70 (padded to 96) against itself with different
+    padding content via a different block size."""
+    q, k, v, valid, times = make(s=70)
+    a = attention_pallas(q, k, v, valid, times, block_q=32, interpret=True)
+    b = attention_pallas(q, k, v, valid, times, block_q=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_bf16():
+    q, k, v, valid, times = make()
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ref = attention_reference(q, k, v, valid, times)
+    out = attention_pallas(q, k, v, valid, times, block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
