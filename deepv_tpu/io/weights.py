@@ -150,3 +150,48 @@ def convert_text_embeds_pt(pt_path: str, npz_path: str) -> None:
         for prompt, fields in raw.items()
     }
     save_text_embeds(npz_path, cache)
+
+
+# --- text encoder towers (CLIP-L / CLIP-G / T5) ------------------------------
+
+def convert_text_tower_state(state: Dict[str, np.ndarray], dtype=jnp.bfloat16) -> dict:
+    """HF CLIPTextModelWithProjection / T5EncoderModel state -> pytree.
+    Keys already match our tree paths (see models/text_encoders.py)."""
+    tree: dict = {}
+    for k, v in state.items():
+        _set(tree, k, jnp.asarray(v, dtype))
+    return tree
+
+
+def load_text_encoders(model_path: str, dtype=jnp.bfloat16):
+    """Build an SD3TextEncoder from a checkpoint snapshot's text_encoder{,_2,_3}
+    subdirs (ref mmdit.py:1036-1046). Returns None if the dirs are absent."""
+    import json as _json
+
+    from ..models.text_encoders import SD3TextEncoder
+
+    dirs = {
+        "clip_l": os.path.join(model_path, "text_encoder"),
+        "clip_g": os.path.join(model_path, "text_encoder_2"),
+        "t5": os.path.join(model_path, "text_encoder_3"),
+    }
+    if not all(os.path.isdir(d) for d in dirs.values()):
+        return None
+
+    params, configs = {}, {}
+    for name, d in dirs.items():
+        with open(os.path.join(d, "config.json")) as f:
+            raw = _json.load(f)
+        params[name] = convert_text_tower_state(_load_safetensors_dir(d), dtype)
+        if name == "t5":
+            configs[name] = {
+                "num_heads": raw["num_heads"],
+                "gated_act": "gated" in raw.get("feed_forward_proj", "gated-gelu"),
+            }
+        else:
+            configs[name] = {
+                "num_heads": raw["num_attention_heads"],
+                "act": raw.get("hidden_act", "quick_gelu"),
+                "eos_token_id": raw.get("eos_token_id", 2),
+            }
+    return SD3TextEncoder(model_path, params, configs, dtype=dtype)

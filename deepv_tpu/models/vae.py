@@ -290,27 +290,66 @@ def _dec_window(cfg, p, z, cache, mode):
 
 
 def chunk_encode(cfg: VAEConfig, p: dict, x: jnp.ndarray, window_size: int = 16):
-    """Temporal-chunked encode (ref vae.py:865-883)."""
+    """Temporal-chunked encode (ref vae.py:865-883); cont windows as one scan."""
     sizes = _split_windows(x.shape[2], window_size)
-    outs, cache, fid = [], None, 0
-    for i, s in enumerate(sizes):
-        mode = "init" if i == 0 else "cont"
-        m, cache = _enc_window(cfg, p, x[:, :, fid:fid + s], cache, mode)
+    m0, cache = _enc_window(cfg, p, x[:, :, :sizes[0]], None, "init")
+    outs = [m0]
+    fid = sizes[0]
+    n_full = sum(1 for s in sizes[1:] if s == window_size)
+    if n_full:
+        stacked = jnp.stack([x[:, :, fid + i * window_size: fid + (i + 1) * window_size]
+                             for i in range(n_full)])
+        tail, cache = _enc_scan(cfg, p, stacked, cache)
+        outs.extend(tail[i] for i in range(n_full))
+        fid += n_full * window_size
+    if fid < x.shape[2]:
+        m, cache = _enc_window(cfg, p, x[:, :, fid:], cache, "cont")
         outs.append(m)
-        fid += s
     return jnp.concatenate(outs, axis=2)
 
 
 def chunk_decode(cfg: VAEConfig, p: dict, z: jnp.ndarray, window_size: int = 2):
-    """Temporal-chunked decode (ref vae.py:902-920)."""
+    """Temporal-chunked decode (ref vae.py:902-920).
+
+    The init window runs as its own program; the equal-sized cont windows run
+    as ONE jitted ``lax.scan`` with the conv-cache pytree as carry — a single
+    dispatch and compilation for the whole tail. A ragged final window (z not
+    aligned to the window size) runs as one more program.
+    """
     sizes = _split_windows(z.shape[2], window_size)
-    outs, cache, fid = [], None, 0
-    for i, s in enumerate(sizes):
-        mode = "init" if i == 0 else "cont"
-        d, cache = _dec_window(cfg, p, z[:, :, fid:fid + s], cache, mode)
+    out0, cache = _dec_window(cfg, p, z[:, :, :sizes[0]], None, "init")
+    outs = [out0]
+    fid = sizes[0]
+    n_full = sum(1 for s in sizes[1:] if s == window_size)
+    if n_full:
+        stacked = jnp.stack([z[:, :, fid + i * window_size: fid + (i + 1) * window_size]
+                             for i in range(n_full)])
+        tail, cache = _dec_scan(cfg, p, stacked, cache)
+        outs.extend(tail[i] for i in range(n_full))
+        fid += n_full * window_size
+    if fid < z.shape[2]:
+        d, cache = _dec_window(cfg, p, z[:, :, fid:], cache, "cont")
         outs.append(d)
-        fid += s
     return jnp.concatenate(outs, axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _dec_scan(cfg, p, stacked_windows, cache):
+    """lax.scan over equal-shaped cont windows; carry = conv-cache pytree."""
+    def body(c, zw):
+        y, c2 = decoder_apply(cfg, p, zw, c, "cont")
+        return c2, y
+    cache, ys = jax.lax.scan(body, cache, stacked_windows)
+    return ys, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _enc_scan(cfg, p, stacked_windows, cache):
+    def body(c, xw):
+        m, c2 = encoder_apply(cfg, p, xw, c, "cont")
+        return c2, m
+    cache, ms = jax.lax.scan(body, cache, stacked_windows)
+    return ms, cache
 
 
 def _blend_v(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:

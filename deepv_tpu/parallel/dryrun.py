@@ -22,9 +22,18 @@ from .tp import shard_mmdit_params
 
 
 def run_dryrun(n_devices: int, verbose: bool = True) -> float:
-    """One DP x TP flow-matching training step on tiny shapes.
+    """One DP x TP flow-matching training step + a CP VAE encode, tiny shapes.
 
-    Returns the (finite) loss value.
+    Parallelism inventory exercised (SURVEY.md §2 table):
+      DP  — batch axis sharding of the training step
+      TP  — Megatron-style column/row splits of the MMDiT (GSPMD collectives)
+      CP  — spatial context parallelism of the VAE (ppermute halo exchange)
+      PP  — not applicable: the 2B-param model fits one chip class; no
+            pipeline stages exist in this architecture
+      EP  — not applicable: no mixture-of-experts layers
+      SP  — covered by TP's sequence-activation shardings under GSPMD
+
+    Returns the (finite) training loss.
     """
     try:
         devices = jax.devices("cpu")
@@ -66,6 +75,18 @@ def run_dryrun(n_devices: int, verbose: bool = True) -> float:
         params, opt_state, loss = step(params, opt_state, batch, jax.random.PRNGKey(4))
         loss = float(loss)
     assert np.isfinite(loss), f"dryrun loss not finite: {loss}"
+
+    # context-parallel VAE encode over the full device set
+    from ..config import VAEConfig
+    from ..models.vae import init_vae_params
+    from .cp import cp_vae_encode
+    vcfg = VAEConfig.tiny()
+    vparams = init_vae_params(jax.random.PRNGKey(5), vcfg)
+    cp_mesh = make_mesh((n,), ("cp",), devices=devices[:n])
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 3, 9, n * vcfg.downsample_scale, 32))
+    moments = cp_vae_encode(vcfg, vparams, x, cp_mesh)
+    assert np.isfinite(np.asarray(moments, np.float32)).all()
+
     if verbose:
-        print(f"[dryrun] mesh dp={dp} tp={tp} loss={loss:.4f}")
+        print(f"[dryrun] mesh dp={dp} tp={tp} loss={loss:.4f}; cp={n} vae encode ok")
     return loss

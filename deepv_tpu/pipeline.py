@@ -50,23 +50,13 @@ def _zero_depth_channels(x: jnp.ndarray) -> jnp.ndarray:
     return x.at[:, 16:].set(0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("mcfg", "num_rows", "history_downsample_ratio", "zero_depth", "attn_impl"))
-def _denoise_stage(mcfg: MMDiTConfig, params, conditions: Tuple[jnp.ndarray, ...],
-                   frame_times: Tuple[jnp.ndarray, ...], frame_valid: Tuple[jnp.ndarray, ...],
-                   latents: jnp.ndarray,
-                   text_embeds: jnp.ndarray, text_mask: jnp.ndarray, pooled: jnp.ndarray,
-                   timesteps: jnp.ndarray, dsigmas: jnp.ndarray,
-                   guidance: jnp.ndarray, history_scale: jnp.ndarray,
-                   history: Optional[jnp.ndarray], history_mask: Optional[jnp.ndarray],
-                   num_rows: int, history_downsample_ratio: int, zero_depth: bool,
-                   attn_impl: str = "ref"):
+def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
+                latents, text_embeds, text_mask, pooled, timesteps, dsigmas,
+                guidance, history_scale, history, history_mask,
+                num_rows: int, history_downsample_ratio: int, zero_depth: bool,
+                attn_impl: str):
     """All Euler steps of one pyramid stage as a lax.scan
-    (ref pipeline.py:467-520, one reference step == one scan iteration).
-
-    Shape-stable: ``conditions`` are padded to a fixed clip structure with
-    dynamic ``frame_times``/``frame_valid``, so this compiles once per
-    (stage resolution, CFG row count) for the whole rollout.
-    """
+    (ref pipeline.py:467-520, one reference step == one scan iteration)."""
     conds = tuple(_zero_depth_channels(c) for c in conditions) if zero_depth else conditions
 
     def body(lat, inp):
@@ -94,15 +84,29 @@ def _denoise_stage(mcfg: MMDiTConfig, params, conditions: Tuple[jnp.ndarray, ...
     return out
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "mcfg", "num_rows", "history_downsample_ratio", "zero_depth", "attn_impl"))
+def _denoise_stage(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
+                   latents, text_embeds, text_mask, pooled, timesteps, dsigmas,
+                   guidance, history_scale, history, history_mask,
+                   num_rows: int, history_downsample_ratio: int,
+                   zero_depth: bool, attn_impl: str):
+    """One pyramid stage as its own program. A whole-unit fused variant was
+    measured and reverted: identical steady-state throughput (compute-bound)
+    but ~3x the compile time, hurting time-to-first-frame."""
+    return _stage_scan(mcfg, params, conditions, frame_times, frame_valid, latents,
+                       text_embeds, text_mask, pooled, timesteps, dsigmas,
+                       guidance, history_scale, history, history_mask,
+                       num_rows, history_downsample_ratio, zero_depth, attn_impl)
+
+
 @functools.partial(jax.jit, static_argnames=("gamma",))
-def _upsample_renoise(latents: jnp.ndarray, key: jax.Array, alpha: float,
-                      beta: float, gamma: float) -> jnp.ndarray:
-    """Between stages: nearest 2x upsample + correlated block-noise renoising
+def _renoise(latents, key, alpha, beta, gamma: float):
+    """Inter-stage nearest-2x upsample + correlated block-noise renoising
     (ref pipeline.py:452-465)."""
     up = up2x_nearest(latents)
     noise = sample_block_noise(key, up.shape, gamma, dtype=jnp.float32)
-    out = alpha * up.astype(jnp.float32) + beta * noise
-    return out.astype(latents.dtype)
+    return (alpha * up.astype(jnp.float32) + beta * noise).astype(latents.dtype)
 
 
 @jax.jit
@@ -276,7 +280,6 @@ class InferencePipeline:
                            text_embeds, text_mask, pooled, num_rows,
                            guidance: float, history_scale: float):
         cfg = self.cfg
-        intermed = []
         hist = None
         hist_mask = None
         if input_history is not None:
@@ -286,24 +289,31 @@ class InferencePipeline:
             hist_mask = jnp.concatenate([
                 jnp.zeros((2, hlen), jnp.int32), jnp.ones((1, hlen), jnp.int32)], axis=0)
 
+        scheds = []
+        renoise = []
         for i_s in range(len(cfg.stages)):
             ss = self.schedule.stage_schedule(cfg.num_inference_steps, i_s)
+            scheds.append((jnp.asarray(ss.timesteps),
+                           jnp.asarray(ss.sigmas[1:] - ss.sigmas[:-1])))
             if i_s > 0:
                 alpha, beta = self.schedule.renoise_coeffs(i_s)
                 key, sub = jax.random.split(key)
-                latents = _upsample_renoise(latents, sub, alpha, beta,
-                                            gamma=cfg.scheduler.gamma)
-            clips, times, valid = past_conditions[i_s]
+                renoise.append((sub, jnp.float32(alpha), jnp.float32(beta)))
+
+        intermed = []
+        for i_s in range(len(cfg.stages)):
+            if i_s > 0:
+                key_, alpha, beta = renoise[i_s - 1]
+                latents = _renoise(latents, key_, alpha, beta, gamma=cfg.scheduler.gamma)
+            conditions, times, valid = past_conditions[i_s]
+            timesteps, dsigmas = scheds[i_s]
             latents = _denoise_stage(
-                self.mcfg, self.params["mmdit"], clips, times, valid, latents,
-                text_embeds, text_mask, pooled,
-                jnp.asarray(ss.timesteps), jnp.asarray(ss.sigmas[1:] - ss.sigmas[:-1]),
-                jnp.float32(guidance), jnp.float32(history_scale),
-                hist, hist_mask,
+                self.mcfg, self.params["mmdit"], conditions, times, valid, latents,
+                text_embeds, text_mask, pooled, timesteps, dsigmas,
+                jnp.float32(guidance), jnp.float32(history_scale), hist, hist_mask,
                 num_rows=num_rows,
                 history_downsample_ratio=cfg.history_downsample_ratio,
-                zero_depth=cfg.no_need_depth,
-                attn_impl=self.attn_impl)
+                zero_depth=cfg.no_need_depth, attn_impl=self.attn_impl)
             intermed.append(latents)
         return intermed
 

@@ -79,13 +79,21 @@ def load_pipeline(model_path: str, model_cfg: PipelineConfig,
                                     pooled_dim=mcfg.pooled_projection_dim)
     else:
         mcfg, vcfg, params = weights_io.load_checkpoint(model_path, dtype=dtype)
+        text_encoder = weights_io.load_text_encoders(model_path, dtype=dtype)
         embeds_path = model_cfg.text_embeds_path
         if embeds_path and os.path.exists(embeds_path):
             embeds = load_text_embeds(embeds_path)
+        elif text_encoder is not None:
+            # regenerate the closed action vocabulary from the checkpoint's
+            # own encoders (the reference's .pt asset is missing upstream)
+            from .io.build_embeds import build_action_embeds
+            embeds = build_action_embeds(text_encoder)
         else:
             embeds = random_text_embeds(0, action_vocabulary(),
                                         joint_dim=mcfg.joint_attention_dim,
                                         pooled_dim=mcfg.pooled_projection_dim)
+        return InferencePipeline(model_cfg, mcfg, vcfg, params, embeds,
+                                 dtype=dtype, text_encoder=text_encoder)
     return InferencePipeline(model_cfg, mcfg, vcfg, params, embeds, dtype=dtype)
 
 
