@@ -92,9 +92,13 @@ def main():
     embeds = random_text_embeds(0, action_vocabulary(),
                                 joint_dim=mcfg.joint_attention_dim,
                                 pooled_dim=mcfg.pooled_projection_dim)
+    # throughput configuration: batch-decode at end of chunk (streaming
+    # decode — the serving default — trades ~2% throughput for ~6x better
+    # time-to-first-frame; set BENCH_STREAM=1 to measure that mode)
     pipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
                              decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "1")),
-                             decode_batched=(preset == "tiny"))
+                             decode_batched=(preset == "tiny"),
+                             stream_decode=os.environ.get("BENCH_STREAM") == "1")
 
     img = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, H, W),
                              minval=-1.0, maxval=1.0)

@@ -34,7 +34,7 @@ import numpy as np
 from .config import MMDiTConfig, PipelineConfig, VAEConfig
 from .models.mmdit import mmdit_forward
 from .models.scheduler import FlowMatchSchedule, euler_step
-from .models.vae import gaussian_sample, vae_decode, vae_encode
+from .models.vae import _dec_window, gaussian_sample, vae_decode, vae_encode
 from .ops.block_noise import sample_block_noise
 from .ops.resample import down2x_bilinear, up2x_nearest
 from .raymap import raymap_from_camera_batch, raymap_to_camera
@@ -144,7 +144,7 @@ class InferencePipeline:
                  vae_cfg: VAEConfig, params: Dict, text_embeds: Dict,
                  dtype=jnp.bfloat16, use_tiling: bool = False,
                  decode_window: int = 2, decode_batched: bool = True,
-                 text_encoder=None):
+                 stream_decode: bool = True, text_encoder=None):
         self.cfg = cfg
         self.mcfg = mmdit_cfg
         self.vcfg = vae_cfg
@@ -154,6 +154,10 @@ class InferencePipeline:
         self.use_tiling = use_tiling
         self.decode_window = decode_window
         self.decode_batched = decode_batched
+        #: decode each unit's latent as soon as it is denoised (exact — the
+        #: causal VAE's chunked decode equals the full decode bit-for-bit);
+        #: first pixels appear after unit 1 instead of after the whole chunk
+        self.stream_decode = stream_decode
         self.text_encoder = text_encoder
         self.schedule = FlowMatchSchedule(cfg.scheduler)
         # fused Pallas attention on TPU; jnp reference elsewhere
@@ -200,6 +204,26 @@ class InferencePipeline:
                              temporal_chunk=x.shape[2] > 17, window_size=16,
                              use_tiling=self.use_tiling)
         return gaussian_sample(moments, key)
+
+    def _stream_push(self, z: jnp.ndarray, cache, first: bool):
+        """Decode one latent window through a carried decoder cache.
+
+        The very first window's leading frame uses image normalisation stats,
+        everything after video stats (ref pipeline.py:706-709)."""
+        c = self.cfg
+        if first:
+            z0 = z[:, :, :1] / c.vae_scale_factor + c.vae_shift_factor
+            if z.shape[2] > 1:
+                rest = z[:, :, 1:] / c.vae_video_scale_factor + c.vae_video_shift_factor
+                z = jnp.concatenate([z0, rest], axis=2)
+            else:
+                z = z0
+            mode = "init"
+        else:
+            z = z / c.vae_video_scale_factor + c.vae_video_shift_factor
+            mode = "cont"
+        return _dec_window(self.vcfg, self.params["vae"]["decoder"],
+                           z.astype(self.dtype), cache, mode)
 
     def _decode_latents(self, lat: jnp.ndarray) -> jnp.ndarray:
         """Un-normalise + chunked decode (ref pipeline.py:703-715)."""
@@ -322,7 +346,9 @@ class InferencePipeline:
     def generate_i2v(self, key, motion_prompt: Sequence[str], use_motion_prompt: bool,
                      input_image: jnp.ndarray, input_disparity, input_raymap,
                      input_history, guidance_scale: float = 4.0,
-                     video_guidance_scale: float = 3.5):
+                     video_guidance_scale: float = 3.5,
+                     use_linear_guidance: bool = False, alpha: float = 1.0,
+                     min_guidance_scale: float = 1.1):
         cfg, mcfg = self.cfg, self.mcfg
         firstframe_mask = input_disparity is None
         num_rows = 2 if input_history is None else 3
@@ -366,7 +392,32 @@ class InferencePipeline:
         num_units = temp // cfg.frame_per_unit
         start_unit_index = 1 if firstframe_mask else (n_in - 1) // ds + 1
 
+        # streaming decode state: per-stream decoder caches + frame buffers
+        stream = self.stream_decode
+        rgb_cache = disp_cache = None
+        rgb_frames, disp_frames = [], []
+        stream_first = True
+
+        def stream_push(lat38):
+            nonlocal rgb_cache, disp_cache, stream_first
+            li, ld = jnp.split(lat38[:, :-cfg.raymap_dim], 2, axis=1)
+            yi, rgb_cache = self._stream_push(li, rgb_cache, stream_first)
+            yd, disp_cache = self._stream_push(ld, disp_cache, stream_first)
+            rgb_frames.append(yi)
+            disp_frames.append(yd)
+            stream_first = False
+
+        if stream and not firstframe_mask:
+            stream_push(input_image_latent)   # the carried-over 4 latent frames
+
+        if use_linear_guidance:
+            # per-unit decayed guidance (ref pipeline.py:544-546, 592-594)
+            guidance_list = [max(guidance_scale - alpha * t_, min_guidance_scale)
+                             for t_ in range(num_units + 1)]
+
         for unit_index in range(start_unit_index, num_units):
+            if use_linear_guidance:
+                video_guidance_scale = guidance_list[unit_index]
             prompt = motion_prompt[unit_index - int(firstframe_mask)]
             pe, pm, pp = self._embeds_for(prompt if use_motion_prompt else str(prompt))
             ne, nm, npo = self._embeds_for("empty")
@@ -390,6 +441,11 @@ class InferencePipeline:
                 if self.timer.sync:
                     force_completion(intermed[-1])
             generated.append(intermed[-1])
+            if stream:
+                with self.timer.phase("stream_decode"):
+                    stream_push(intermed[-1])
+                    if self.timer.sync:
+                        force_completion(rgb_frames[-1])
 
         if firstframe_mask:
             generated = generated[1:]
@@ -403,11 +459,13 @@ class InferencePipeline:
                                             from_relative_to_absolute=True,
                                             vae_downsample=ds)
 
-        # decode rgb+disparity; batched when the working set fits HBM
-        # (full-size deployment: sequential — decoder temps at batch 2 exceed
-        # the headroom left by the resident DiT params)
+        # decode rgb+disparity
         with self.timer.phase("vae_decode"):
-            if self.decode_batched:
+            if stream:
+                # frames were decoded incrementally during the unit loop
+                image = jnp.concatenate(rgb_frames, axis=2)
+                disparity = jnp.concatenate(disp_frames, axis=2)
+            elif self.decode_batched:
                 both = self._decode_latents(jnp.concatenate([lat_img, lat_disp], axis=0))
                 image, disparity = both[:1], both[1:2]
             else:

@@ -123,3 +123,35 @@ def test_missing_prompt_raises(pipe):
     batch["prompt_type"] = "text"
     with pytest.raises(KeyError):
         pipe.generate(batch, seed=5)
+
+
+def test_stream_decode_matches_batch_decode():
+    """Streaming (per-unit) decode must equal the end-of-chunk decode exactly
+    (chunked == full causal-VAE law); compared in f64 where float reassociation
+    noise is negligible."""
+    import jax.numpy as jnp
+    with jax.enable_x64():
+        vcfg = VAEConfig.tiny()
+        mcfg = MMDiTConfig(
+            sample_size=16, patch_size=2, in_channels=14, num_layers=2,
+            attention_head_dim=8, num_attention_heads=4,
+            caption_projection_dim=32, pooled_projection_dim=16,
+            pos_embed_max_size=32, joint_attention_dim=24)
+        pcfg = PipelineConfig()
+        params = {
+            "mmdit": init_mmdit_params(jax.random.PRNGKey(0), mcfg),
+            "vae": init_vae_params(jax.random.PRNGKey(1), vcfg),
+        }
+        params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+        embeds = random_text_embeds(0, action_vocabulary(),
+                                    joint_dim=mcfg.joint_attention_dim,
+                                    pooled_dim=mcfg.pooled_projection_dim)
+        batch = make_batch()
+        a = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=jnp.float64,
+                              stream_decode=True).generate(batch, seed=9)
+        b = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=jnp.float64,
+                              stream_decode=False).generate(batch, seed=9)
+        np.testing.assert_allclose(np.asarray(a["pred_img"]),
+                                   np.asarray(b["pred_img"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a["pred_disparity"]),
+                                   np.asarray(b["pred_disparity"]), atol=1e-6)
