@@ -114,3 +114,19 @@ def test_weight_converter_rekeying():
     _set(tree, "a.b.0.c", 1)
     _set(tree, "a.b.1.c", 2)
     assert tree == {"a": {"b": [{"c": 1}, {"c": 2}]}}
+
+
+def test_prepare_input_image_crop_semantics(tmp_path):
+    """Center-crop to aspect then resize (ref run.py:247-265)."""
+    from PIL import Image
+    from deepv_tpu.run import prepare_input_image
+    img = np.zeros((200, 400, 3), np.uint8)
+    img[:, 150:250] = 255  # white center band
+    p = str(tmp_path / "x.png")
+    Image.fromarray(img).save(p)
+    out = prepare_input_image(p, height=64, width=64)
+    assert out.shape == (1, 3, 64, 64)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    # the 64x64 crop comes from the central 200x200 -> white band fills middle
+    assert out[0, 0, 32, 32] > 0.9
+    assert out[0, 0, 32, 2] < -0.9
