@@ -158,6 +158,10 @@ class InferencePipeline:
         #: causal VAE's chunked decode equals the full decode bit-for-bit);
         #: first pixels appear after unit 1 instead of after the whole chunk
         self.stream_decode = stream_decode
+        #: optional callback(rgb_window, disp_window) fired as each decoded
+        #: pixel window becomes available (requires stream_decode) — the
+        #: interactive-serving hook; windows include chunk-overlap re-decodes
+        self.on_frames = None
         self.text_encoder = text_encoder
         self.schedule = FlowMatchSchedule(cfg.scheduler)
         # fused Pallas attention on TPU; jnp reference elsewhere
@@ -406,6 +410,8 @@ class InferencePipeline:
             rgb_frames.append(yi)
             disp_frames.append(yd)
             stream_first = False
+            if self.on_frames is not None:
+                self.on_frames(yi, yd)
 
         if stream and not firstframe_mask:
             stream_push(input_image_latent)   # the carried-over 4 latent frames

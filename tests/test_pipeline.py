@@ -155,3 +155,19 @@ def test_stream_decode_matches_batch_decode():
                                    np.asarray(b["pred_img"]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(a["pred_disparity"]),
                                    np.asarray(b["pred_disparity"]), atol=1e-6)
+
+
+def test_on_frames_streaming_callback(pipe):
+    """The serving hook fires once per decoded window with pixel tensors."""
+    windows = []
+    pipe.on_frames = lambda rgb, disp: windows.append((rgb.shape, disp.shape))
+    try:
+        out = pipe.generate(make_batch("(FN)(FN)"), seed=6)
+    finally:
+        pipe.on_frames = None
+    # chunk 0: 8 unit pushes -> first 1 frame, then 7 x 8 frames = 57
+    assert len(windows) == 8
+    assert windows[0][0][2] == 1
+    assert all(w[0][2] == 8 for w in windows[1:])
+    total = sum(w[0][2] for w in windows)
+    assert total == out["pred_img"].shape[2] == 57
