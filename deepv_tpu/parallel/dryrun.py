@@ -34,15 +34,30 @@ def run_dryrun(n_devices: int, verbose: bool = True) -> float:
       SP  — covered by TP's sequence-activation shardings under GSPMD
 
     Returns the (finite) training loss.
+
+    Requires >= n_devices CPU devices — raises instead of clamping, so a
+    misconfigured virtual mesh can never "validate" a smaller one. All work
+    is pinned to CPU (this image's default backend is the axon TPU tunnel).
     """
     try:
         devices = jax.devices("cpu")
     except RuntimeError:
         devices = jax.devices()
-    n = min(n_devices, len(devices))
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"dryrun needs {n_devices} devices, found {len(devices)}: inject "
+            "--xla_force_host_platform_device_count before CPU-client init "
+            "(see __graft_entry__.dryrun_multichip)")
+    n = n_devices
     dp = 2 if n % 2 == 0 and n >= 2 else 1
     tp = n // dp
-    mesh = make_mesh((dp, tp), ("dp", "tp"), devices=devices[:n])
+    with jax.default_device(devices[0]):
+        return _run_dryrun_on(devices[:n], dp, tp, verbose)
+
+
+def _run_dryrun_on(devices, dp: int, tp: int, verbose: bool) -> float:
+    n = len(devices)
+    mesh = make_mesh((dp, tp), ("dp", "tp"), devices=devices)
 
     # tiny config whose dims divide tp (heads and ff widths shard cleanly)
     cfg = MMDiTConfig(
@@ -82,11 +97,13 @@ def run_dryrun(n_devices: int, verbose: bool = True) -> float:
     from .cp import cp_vae_encode
     vcfg = VAEConfig.tiny()
     vparams = init_vae_params(jax.random.PRNGKey(5), vcfg)
-    cp_mesh = make_mesh((n,), ("cp",), devices=devices[:n])
+    cp_mesh = make_mesh((n,), ("cp",), devices=devices)
     x = jax.random.normal(jax.random.PRNGKey(6), (1, 3, 9, n * vcfg.downsample_scale, 32))
     moments = cp_vae_encode(vcfg, vparams, x, cp_mesh)
     assert np.isfinite(np.asarray(moments, np.float32)).all()
 
     if verbose:
-        print(f"[dryrun] mesh dp={dp} tp={tp} loss={loss:.4f}; cp={n} vae encode ok")
+        print(f"[dryrun] mesh {mesh.devices.shape} axes {mesh.axis_names} "
+              f"(dp={dp} tp={tp}) loss={loss:.4f}; "
+              f"cp mesh {cp_mesh.devices.shape} vae encode ok")
     return loss
