@@ -278,12 +278,13 @@ def joint_attention(cfg: MMDiTConfig, p: dict, hidden: jnp.ndarray,
     else:
         bias = mask_ctx[1]
         scale = 1.0 / math.sqrt(hd)
+        acc = jnp.promote_types(q.dtype, jnp.float32)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        logits = logits + bias
+                            preferred_element_type=acc) * scale
+        logits = logits + bias.astype(acc)
         weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
+                         preferred_element_type=acc).astype(v.dtype)
         out = out.reshape(b, lc + lv, nh * hd)
 
     ctx_out, vid_out = out[:, :lc], out[:, lc:]
