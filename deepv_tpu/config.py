@@ -34,13 +34,30 @@ class MMDiTConfig:
     caption_projection_dim: int = 1536
     pooled_projection_dim: int = 2048
     pos_embed_max_size: int = 192
-    max_num_frames: int = 200
     qk_norm: str = "rms_norm"
     pos_embed_type: str = "sincos"          # spatial: cropped sincos (SD3 style)
     temp_pos_embed_type: str = "rope"        # temporal: axis RoPE
     joint_attention_dim: int = 4096
     use_temporal_causal: bool = True
     interp_condition_pos: bool = True
+
+    def __post_init__(self):
+        # The deployed behaviour is hard-coded to these values; a checkpoint
+        # config requesting anything else must fail loudly instead of being
+        # silently ignored. (The reference itself raises NotImplementedError
+        # on the spatial-RoPE path, ref mmdit.py:1388-1390, and supports no
+        # non-causal variant at inference.)
+        if self.qk_norm != "rms_norm":
+            raise NotImplementedError(f"qk_norm={self.qk_norm!r}: only 'rms_norm'")
+        if self.pos_embed_type != "sincos":
+            raise NotImplementedError(
+                f"pos_embed_type={self.pos_embed_type!r}: only 'sincos' (the "
+                "reference's spatial-RoPE path is itself NotImplementedError)")
+        if self.temp_pos_embed_type != "rope":
+            raise NotImplementedError(
+                f"temp_pos_embed_type={self.temp_pos_embed_type!r}: only 'rope'")
+        if not self.use_temporal_causal:
+            raise NotImplementedError("use_temporal_causal=False is unsupported")
 
     @property
     def inner_dim(self) -> int:
