@@ -1,7 +1,11 @@
 """Benchmark: sustained RGB+depth generation rate on one chip.
 
-Prints ONE JSON line:
-  {"metric": "gen_fps_chip", "value": N, "unit": "frames/s", "vs_baseline": N/4.0}
+Prints ONE JSON line whose primary metric is the baseline's headline number,
+with the other two metrics of record (BASELINE.md:18-19) as extra fields:
+
+  {"metric": "gen_fps_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N/4.0,
+   "denoise_steps_per_s": N, "ttff_p50_s": N, "attn_parity_max_err": N}
 
 Baseline: the reference generates 4 FPS (RGB+depth autoregressive rollout)
 on one NVIDIA A800 (ref README.md:78; BASELINE.md). We measure the same
@@ -9,6 +13,12 @@ quantity — pixel frames per wall-clock second for a full 57-frame chunk of
 ``InferencePipeline.generate`` at 384x512 with the deployment architecture
 (24-layer d=1536 MMDiT, full causal video VAE), CFG rows included, VAE
 decode of RGB+disparity included — on the single available TPU chip.
+``denoise_steps_per_s`` is Euler steps (105/chunk = 7 units x 3 stages x 5
+steps) over synced denoise wall-clock; ``ttff_p50_s`` is the p50 over 3
+streaming-mode runs of time from generate() start to the first decoded
+pixels. ``attn_parity_max_err`` asserts the production Pallas attention
+kernel against the jnp reference ON THE REAL CHIP at the deployment packed
+shape (compiled, not interpret mode).
 
 Weights are constant-initialised (external HF weights are not fetchable in
 this environment); dense compute time is weight-value independent.
@@ -52,6 +62,38 @@ def fast_params(mcfg, vcfg, dtype):
     v_shapes = jax.eval_shape(lambda k: init_vae_params(k, vcfg, dtype=dtype),
                               jax.random.PRNGKey(0))
     return {"mmdit": constify(m_shapes), "vae": constify(v_shapes)}
+
+
+def attention_parity_on_chip(mcfg, H, W, ctx_len=77) -> float:
+    """Compiled Pallas kernel vs jnp reference at the deployment packed shape
+    (stage-2 layout: padded old clip + mid + last + current unit). Returns the
+    max abs error; asserts it is within f32 tolerance. Closes the gap that the
+    kernel was otherwise only ever tested in interpret mode on CPU."""
+    from deepv_tpu.ops.attention import attention_pallas, attention_reference
+
+    p = 2
+    lh, lw = H // 8, W // 8
+    tok = lambda h, w: (h // p) * (w // p)
+    # stage-2 packed video tokens: old 6 frames @ /4, mid @ /2, last + current @ /1
+    video = 6 * tok(lh // 4, lw // 4) + tok(lh // 2, lw // 2) + 2 * tok(lh, lw)
+    s = ctx_len + video
+    b, nh, hd = 2, mcfg.num_attention_heads, mcfg.attention_head_dim
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (b, s, nh, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, nh, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, nh, hd), jnp.float32)
+    # validity: one masked ctx token per row; times: ctx at 0, frames 0..8
+    valid = jnp.ones((b, s), jnp.int32).at[:, 0].set(0)
+    reps = [ctx_len] + [tok(lh // 4, lw // 4)] * 6 + [tok(lh // 2, lw // 2)] + [tok(lh, lw)] * 2
+    times = jnp.repeat(jnp.arange(len(reps), dtype=jnp.float32) - 1.0,
+                       jnp.asarray(reps), total_repeat_length=s).at[:ctx_len].set(0.0)
+    out_p = jax.jit(attention_pallas)(q, k, v, valid, times)
+    out_r = jax.jit(attention_reference)(q, k, v, valid, times)
+    err = float(jnp.max(jnp.abs(out_p.astype(jnp.float32) - out_r.astype(jnp.float32))))
+    assert err < 2e-3, f"pallas attention diverges from reference on chip: {err}"
+    print(f"[bench] pallas-vs-ref attention parity @ S={s}: max err {err:.2e}",
+          file=sys.stderr)
+    return err
 
 
 def main():
@@ -124,11 +166,52 @@ def main():
     fps = frames / dt
     print(f"[bench] steady chunk: {dt:.2f}s -> {fps:.2f} frames/s", file=sys.stderr)
 
+    # -- metric of record 2: denoise steps/s (one synced-timer chunk) --------
+    from deepv_tpu.utils.profiling import PhaseTimer
+    pipe.timer = PhaseTimer(sync=True)
+    pipe.generate(batch, seed=99)
+    d = pipe.timer.stats().get("denoise_unit", {"total_s": float("nan"), "count": 0})
+    n_steps = d["count"] * len(pcfg.stages) * pcfg.num_inference_steps
+    steps_per_s = n_steps / d["total_s"] if d["total_s"] else float("nan")
+    print(f"[bench] denoise: {n_steps} Euler steps in {d['total_s']:.2f}s "
+          f"-> {steps_per_s:.1f} steps/s", file=sys.stderr)
+    pipe.timer = PhaseTimer(sync=False)
+
+    # -- metric of record 3: p50 time-to-first-frame (streaming mode) --------
+    spipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
+                              stream_decode=True)
+    ttffs = []
+    for i in range(4):   # first run compiles the streaming decode programs
+        marks = []
+
+        def mark(rgb, disp):
+            if not marks:
+                sync(rgb)              # first frame counts when fetchable
+                marks.append(time.time())
+
+        spipe.on_frames = mark
+        t0 = time.time()
+        spipe.generate(batch, seed=200 + i)
+        spipe.on_frames = None
+        ttffs.append(marks[0] - t0)
+    ttffs = sorted(ttffs[1:])              # drop the compile run
+    ttff_p50 = ttffs[len(ttffs) // 2]
+    print(f"[bench] ttff runs: {[round(t, 3) for t in ttffs]} -> p50 {ttff_p50:.3f}s",
+          file=sys.stderr)
+
+    # -- on-chip kernel parity (only meaningful where pallas is the prod path)
+    attn_err = None
+    if jax.default_backend() == "tpu" or pipe.attn_impl == "pallas":
+        attn_err = attention_parity_on_chip(mcfg, H, W)
+
     print(json.dumps({
         "metric": "gen_fps_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 4.0, 3),
+        "denoise_steps_per_s": round(steps_per_s, 2),
+        "ttff_p50_s": round(ttff_p50, 3),
+        "attn_parity_max_err": attn_err,
     }))
 
 

@@ -114,6 +114,12 @@ class VAEConfig:
     downsample_scale: int = 8
     scaling_factor: float = 0.18215
 
+    #: conv backend for eligible 3x3x3 stride-1 layers: "xla" (direct
+    #: lax.conv) or "igemm" (Pallas implicit-GEMM kernel, TPU only —
+    #: ops/conv_igemm.py). Runtime knob, not a checkpoint hyperparameter;
+    #: static under jit so flipping it recompiles correctly.
+    conv_impl: str = "xla"
+
     @classmethod
     def from_json(cls, path: str) -> "VAEConfig":
         with open(path) as f:

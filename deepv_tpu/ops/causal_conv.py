@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .basic import conv3d
+from .conv_igemm import conv3d_igemm, supports_igemm
 
 
 def _cp_halo_h(x: jnp.ndarray, axis_name: str, kh: int, stride_h: int) -> Tuple[jnp.ndarray, int]:
@@ -63,6 +64,7 @@ def causal_conv3d(
     mode: str = "full",
     stride: Tuple[int, int, int] = (1, 1, 1),
     cp_axis: Optional[str] = None,
+    impl: str = "xla",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Apply a causal conv3d. Returns ``(y, new_cache)``.
 
@@ -72,6 +74,9 @@ def causal_conv3d(
 
     ``cp_axis``: inside a shard_map over the height axis, exchange spatial
     halos with neighbours instead of zero-padding H locally.
+
+    ``impl="igemm"``: route eligible 3x3x3 stride-1 layers through the Pallas
+    implicit-GEMM kernel (ops/conv_igemm.py); others fall back to XLA.
     """
     kt, kh, kw = params["weight"].shape[2:]
     hp, wp = kh // 2, kw // 2
@@ -80,7 +85,13 @@ def causal_conv3d(
     if cp_axis is not None:
         x, hp = _cp_halo_h(x, cp_axis, kh, stride[1])
 
+    igemm = (impl == "igemm" and cp_axis is None
+             and supports_igemm(params["weight"].shape, stride, x.dtype,
+                                x.shape[3], x.shape[4]))
+
     if mode == "full" or kt == 1:
+        if igemm:
+            return conv3d_igemm(x, params, time_pad=2), None
         y = conv3d(x, params, stride=stride,
                    padding=((time_pad, 0), (hp, hp), (wp, wp)))
         return y, None
@@ -92,6 +103,8 @@ def causal_conv3d(
         else:
             xp = x
         new_cache = xp[:, :, -2:]
+        if igemm:
+            return conv3d_igemm(xp, params, time_pad=0), new_cache
         y = conv3d(xp, params, stride=stride, padding=((0, 0), (hp, hp), (wp, wp)))
         return y, new_cache
 
@@ -104,6 +117,8 @@ def causal_conv3d(
         else:
             xp = x
         new_cache = xp[:, :, -2:]
+        if igemm:
+            return conv3d_igemm(xp, params, time_pad=0), new_cache
         y = conv3d(xp, params, stride=stride, padding=((0, 0), (hp, hp), (wp, wp)))
         return y, new_cache
 

@@ -14,15 +14,17 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..config import MMDiTConfig
+from ..config import MMDiTConfig, PipelineConfig
 from ..models.mmdit import init_mmdit_params
-from ..training.flow_matching import make_train_step
+from ..models.scheduler import FlowMatchSchedule
+from ..training.flow_matching import make_pyramid_train_step
 from .mesh import make_mesh
 from .tp import shard_mmdit_params
 
 
 def run_dryrun(n_devices: int, verbose: bool = True) -> float:
-    """One DP x TP flow-matching training step + a CP VAE encode, tiny shapes.
+    """One DP x TP pyramid-flow training step (the production packed
+    multi-clip layout, training/flow_matching.py) + a CP VAE encode.
 
     Parallelism inventory exercised (SURVEY.md §2 table):
       DP  — batch axis sharding of the training step
@@ -72,9 +74,11 @@ def _run_dryrun_on(devices, dp: int, tp: int, verbose: bool) -> float:
     params = init_mmdit_params(jax.random.PRNGKey(0), cfg)
     params = shard_mmdit_params(params, mesh, "tp")
 
+    # pyramid-flow objective: the production packed multi-clip layout
+    # (past-condition pyramid + renoised stage boundary) under DP x TP
     b = 2 * dp
     batch = {
-        "latents": jax.random.normal(jax.random.PRNGKey(1), (b, cfg.in_channels, 2, 8, 8)),
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (b, cfg.in_channels, 8, 8, 8)),
         "text_embeds": jax.random.normal(jax.random.PRNGKey(2), (b, 7, cfg.joint_attention_dim)),
         "text_mask": jnp.ones((b, 7), jnp.int32),
         "pooled": jax.random.normal(jax.random.PRNGKey(3), (b, cfg.pooled_projection_dim)),
@@ -82,12 +86,15 @@ def _run_dryrun_on(devices, dp: int, tp: int, verbose: bool) -> float:
     dp_shard = NamedSharding(mesh, P("dp"))
     batch = {k: jax.device_put(v, dp_shard) for k, v in batch.items()}
 
+    pcfg = PipelineConfig()
     optimizer = optax.adamw(1e-4)
     opt_state = optimizer.init(params)
-    step = jax.jit(make_train_step(cfg, optimizer))
+    step = make_pyramid_train_step(cfg, pcfg, FlowMatchSchedule(pcfg.scheduler),
+                                   optimizer)
 
     with mesh:
-        params, opt_state, loss = step(params, opt_state, batch, jax.random.PRNGKey(4))
+        params, opt_state, loss = step(params, opt_state, batch,
+                                       jax.random.PRNGKey(4), stage=1, unit_index=3)
         loss = float(loss)
     assert np.isfinite(loss), f"dryrun loss not finite: {loss}"
 

@@ -127,6 +127,67 @@ def _pyramid_list(x: jnp.ndarray, stage_num: int) -> List[jnp.ndarray]:
     return list(reversed(levels))
 
 
+def padded_conditions(cfg: PipelineConfig, clean: List[jnp.ndarray],
+                      unit_index: int, firstframe_mask: bool, num_rows: int):
+    """Shape-stable past-condition pyramid — shared by inference (CFG-tiled
+    rows) and training (num_rows=1, natural batch).
+
+    Reference walk (ref pipeline.py:626-658) yields, per stage s:
+      s=0,1: [old@stage0 (u-1-fm frames), last@s, current]
+      s=2:   [old@stage0 (u-2-fm frames), mid@stage1 (if u-fm>=2), last@s, current]
+    We pad the old clip to a fixed ``max_temporal_length - 2`` frames and
+    keep the mid slot always present, with per-frame times/valid masking
+    the padding, so every unit index shares one compiled layout.
+    """
+    u, fm = unit_index, int(firstframe_mask)
+    t_old = cfg.max_temporal_length - 2
+    L = clean[0].shape[2]
+
+    def tile(x):
+        return jnp.concatenate([x] * num_rows, axis=0) if num_rows > 1 else x
+
+    def pad_old(n_real: int):
+        """old clip container from clean[0][:, :, fm:fm+n_real], end-aligned."""
+        b, c, _, h, w = clean[0].shape
+        container = jnp.zeros((b, c, t_old, h, w), clean[0].dtype)
+        if n_real > 0:
+            container = container.at[:, :, t_old - n_real:].set(
+                clean[0][:, :, fm:fm + n_real])
+        times = jnp.arange(t_old, dtype=jnp.float32) - (t_old - n_real)
+        valid = (jnp.arange(t_old) >= (t_old - n_real)).astype(jnp.int32)
+        return tile(container), times, valid
+
+    out = []
+    n_stages = len(cfg.stages)
+    for i_s in range(n_stages):
+        last = tile(clean[i_s][:, :, L - 1:L])
+        if i_s < n_stages - 1:
+            n_old = max(u - 1 - fm, 0)
+            old, ot, ov = pad_old(n_old)
+            clips = [old, last]
+            times = [ot, jnp.asarray([float(n_old)])]
+            valid = [ov, jnp.asarray([1], jnp.int32)]
+            cur_time = float(n_old + 1)
+        else:
+            mid_valid = 1 if (u - fm) >= 2 else 0
+            n_old = max(u - 2 - fm, 0)
+            old, ot, ov = pad_old(n_old)
+            if mid_valid:
+                mid = tile(clean[i_s - 1][:, :, L - 2:L - 1])
+            else:
+                mid = tile(jnp.zeros_like(clean[i_s - 1][:, :, :1]))
+            clips = [old, mid, last]
+            times = [ot, jnp.asarray([float(n_old)]),
+                     jnp.asarray([float(n_old + mid_valid)])]
+            valid = [ov, jnp.asarray([mid_valid], jnp.int32),
+                     jnp.asarray([1], jnp.int32)]
+            cur_time = float(n_old + mid_valid + 1)
+        times.append(jnp.asarray([cur_time]))
+        valid.append(jnp.asarray([1], jnp.int32))
+        out.append((tuple(clips), tuple(times), tuple(valid)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # pipeline
 # ---------------------------------------------------------------------------
@@ -163,6 +224,7 @@ class InferencePipeline:
         #: interactive-serving hook; windows include chunk-overlap re-decodes
         self.on_frames = None
         self.text_encoder = text_encoder
+        self._embed_memo: Dict[str, Tuple] = {}
         self.schedule = FlowMatchSchedule(cfg.scheduler)
         # fused Pallas attention on TPU; jnp reference elsewhere
         leaf = jax.tree.leaves(params["mmdit"])[0]
@@ -178,17 +240,27 @@ class InferencePipeline:
     # -- helpers ------------------------------------------------------------
 
     def _embeds_for(self, prompt: str):
+        cached = self._embed_memo.get(prompt)
+        if cached is not None:
+            return cached
         if prompt in self.text_embeds:
             e = self.text_embeds[prompt]
-            return (jnp.asarray(e["prompt_embeds"], self.dtype),
-                    jnp.asarray(e["prompt_attention_mask"], jnp.int32),
-                    jnp.asarray(e["pooled_prompt_embeds"], self.dtype))
-        if self.text_encoder is not None:
+            out = (jnp.asarray(e["prompt_embeds"], self.dtype),
+                   jnp.asarray(e["prompt_attention_mask"], jnp.int32),
+                   jnp.asarray(e["pooled_prompt_embeds"], self.dtype))
+        elif self.text_encoder is not None:
             pe, mask, pooled = self.text_encoder(prompt)
-            return (pe.astype(self.dtype), mask.astype(jnp.int32), pooled.astype(self.dtype))
-        raise KeyError(
-            f"prompt {prompt!r} not in the precomputed text-embedding cache and no "
-            "live text encoder is configured")
+            out = (pe.astype(self.dtype), mask.astype(jnp.int32),
+                   pooled.astype(self.dtype))
+        else:
+            raise KeyError(
+                f"prompt {prompt!r} not in the precomputed text-embedding cache and no "
+                "live text encoder is configured")
+        # memoise: text prompts repeat for every unit of every chunk — without
+        # this the live encoder re-tokenises + re-encodes the identical string
+        # up to 7x per chunk, each a host round-trip
+        self._embed_memo[prompt] = out
+        return out
 
     def _norm_image_latent(self, lat: jnp.ndarray) -> jnp.ndarray:
         """First latent frame uses image stats, the rest video stats
@@ -246,63 +318,9 @@ class InferencePipeline:
 
     def _padded_conditions(self, clean: List[jnp.ndarray], unit_index: int,
                            firstframe_mask: bool, num_rows: int):
-        """Shape-stable past-condition pyramid.
-
-        Reference walk (ref pipeline.py:626-658) yields, per stage s:
-          s=0,1: [old@stage0 (u-1-fm frames), last@s, current]
-          s=2:   [old@stage0 (u-2-fm frames), mid@stage1 (if u-fm>=2), last@s, current]
-        We pad the old clip to a fixed ``max_temporal_length - 2`` frames and
-        keep the mid slot always present, with per-frame times/valid masking
-        the padding, so every unit index shares one compiled layout.
-        """
-        cfg = self.cfg
-        u, fm = unit_index, int(firstframe_mask)
-        t_old = cfg.max_temporal_length - 2
-        L = clean[0].shape[2]
-
-        def tile(x):
-            return jnp.concatenate([x] * num_rows, axis=0)
-
-        def pad_old(n_real: int):
-            """old clip container from clean[0][:, :, fm:fm+n_real], end-aligned."""
-            b, c, _, h, w = clean[0].shape
-            container = jnp.zeros((b, c, t_old, h, w), clean[0].dtype)
-            if n_real > 0:
-                container = container.at[:, :, t_old - n_real:].set(
-                    clean[0][:, :, fm:fm + n_real])
-            times = jnp.arange(t_old, dtype=jnp.float32) - (t_old - n_real)
-            valid = (jnp.arange(t_old) >= (t_old - n_real)).astype(jnp.int32)
-            return tile(container), times, valid
-
-        out = []
-        n_stages = len(cfg.stages)
-        for i_s in range(n_stages):
-            last = tile(clean[i_s][:, :, L - 1:L])
-            if i_s < n_stages - 1:
-                n_old = max(u - 1 - fm, 0)
-                old, ot, ov = pad_old(n_old)
-                clips = [old, last]
-                times = [ot, jnp.asarray([float(n_old)])]
-                valid = [ov, jnp.asarray([1], jnp.int32)]
-                cur_time = float(n_old + 1)
-            else:
-                mid_valid = 1 if (u - fm) >= 2 else 0
-                n_old = max(u - 2 - fm, 0)
-                old, ot, ov = pad_old(n_old)
-                if mid_valid:
-                    mid = tile(clean[i_s - 1][:, :, L - 2:L - 1])
-                else:
-                    mid = tile(jnp.zeros_like(clean[i_s - 1][:, :, :1]))
-                clips = [old, mid, last]
-                times = [ot, jnp.asarray([float(n_old)]),
-                         jnp.asarray([float(n_old + mid_valid)])]
-                valid = [ov, jnp.asarray([mid_valid], jnp.int32),
-                         jnp.asarray([1], jnp.int32)]
-                cur_time = float(n_old + mid_valid + 1)
-            times.append(jnp.asarray([cur_time]))
-            valid.append(jnp.asarray([1], jnp.int32))
-            out.append((tuple(clips), tuple(times), tuple(valid)))
-        return out
+        """Shape-stable past-condition pyramid (see ``padded_conditions``)."""
+        return padded_conditions(self.cfg, clean, unit_index, firstframe_mask,
+                                 num_rows)
 
     def _generate_one_unit(self, key, latents, input_history, past_conditions,
                            text_embeds, text_mask, pooled, num_rows,

@@ -8,7 +8,8 @@ import pytest
 
 from deepv_tpu.config import MMDiTConfig, VAEConfig
 from deepv_tpu.models.vae import decoder_apply, encoder_apply, init_vae_params
-from deepv_tpu.parallel.cp import cp_vae_decode, cp_vae_encode
+from deepv_tpu.parallel.cp import (cp_vae_decode, cp_vae_decode_chunked,
+                                   cp_vae_encode, cp_vae_encode_chunked)
 from deepv_tpu.parallel.mesh import make_mesh
 from deepv_tpu.parallel.tp import mmdit_param_spec, shard_mmdit_params
 
@@ -53,6 +54,33 @@ def test_cp_encode_exact_in_f64(vae_params):
         single, _ = encoder_apply(CFG, p64["encoder"], x, mode="full")
         sharded = cp_vae_encode(CFG, p64, x, mesh)
         np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-6)
+
+
+def test_cp_composes_with_temporal_chunking(vae_params):
+    """CP x temporal chunking: the init/cont conv-cache carry must compose
+    with spatial halo exchange — chunked-under-cp == single-device chunked
+    == single-device full, exactly in f64 (the composability claim of
+    parallel/cp.py)."""
+    from deepv_tpu.models.vae import chunk_decode, chunk_encode
+    mesh = make_mesh((4,), ("cp",))
+    with jax.enable_x64():
+        p64 = jax.tree.map(lambda a: a.astype(jnp.float64), vae_params)
+        # encode: 17 pixel frames, window 8 -> init(9) + cont(8) windows
+        # (cont windows must be multiples of the 8x temporal downsample)
+        x = jax.random.normal(jax.random.PRNGKey(11), (1, 3, 17, 64, 32), jnp.float64)
+        single = chunk_encode(CFG, p64["encoder"], x, window_size=8)
+        full, _ = encoder_apply(CFG, p64["encoder"], x, mode="full")
+        sharded = cp_vae_encode_chunked(CFG, p64, x, mesh, window_size=8)
+        np.testing.assert_allclose(np.asarray(single), np.asarray(full), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-6)
+        # decode: 5 latent frames, window 2 -> init(3) + cont(2) windows
+        z = jax.random.normal(jax.random.PRNGKey(12),
+                              (1, CFG.encoder_out_channels, 5, 8, 4), jnp.float64)
+        single_d = chunk_decode(CFG, p64["decoder"], z, window_size=2)
+        full_d, _ = decoder_apply(CFG, p64["decoder"], z, mode="full")
+        sharded_d = cp_vae_decode_chunked(CFG, p64, z, mesh, window_size=2)
+        np.testing.assert_allclose(np.asarray(single_d), np.asarray(full_d), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sharded_d), np.asarray(single_d), atol=1e-6)
 
 
 def test_tp_param_specs():
