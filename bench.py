@@ -175,6 +175,7 @@ def main():
     steps_per_s = n_steps / d["total_s"] if d["total_s"] else float("nan")
     print(f"[bench] denoise: {n_steps} Euler steps in {d['total_s']:.2f}s "
           f"-> {steps_per_s:.1f} steps/s", file=sys.stderr)
+    print(f"[bench] phases: {json.dumps(pipe.timer.stats())}", file=sys.stderr)
     pipe.timer = PhaseTimer(sync=False)
 
     # -- metric of record 3: p50 time-to-first-frame (streaming mode) --------
@@ -191,9 +192,10 @@ def main():
 
         spipe.on_frames = mark
         t0 = time.time()
-        spipe.generate(batch, seed=200 + i)
+        out_s = spipe.generate(batch, seed=200 + i)
         spipe.on_frames = None
         ttffs.append(marks[0] - t0)
+        sync(out_s["pred_img"])   # drain: next run must not queue behind us
     ttffs = sorted(ttffs[1:])              # drop the compile run
     ttff_p50 = ttffs[len(ttffs) // 2]
     print(f"[bench] ttff runs: {[round(t, 3) for t in ttffs]} -> p50 {ttff_p50:.3f}s",

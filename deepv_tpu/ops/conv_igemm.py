@@ -1,9 +1,12 @@
 """Implicit-GEMM Pallas kernel for the VAE's 3x3x3 causal convolutions.
 
-The decode path is the rollout's largest single cost and XLA's direct 3D
-convolution sustains ~60% of the chip's matmul rate on these shapes
-(ARCHITECTURE.md §Performance; rebuild of the ref vae.py:225-252 conv path).
-This kernel reformulates the stencil as a GEMM at MXU-native shape:
+Rebuild of the ref vae.py:225-252 conv path as an explicit MXU GEMM.
+Measured on the v5e (scripts/bench_conv.py, chained-iteration timing):
+this kernel ties XLA's direct conv at the decoder's large shapes (85.9 vs
+84.9 TF/s at 128ch 384x512) but XLA wins at the rest (e.g. 110 TF/s at
+512ch 96x128), so ``VAEConfig.conv_impl`` defaults to "xla" and this kernel
+remains an exactness-gated option (tests/test_conv_igemm.py).
+The formulation, kept for shapes/backends where a fused stencil-GEMM wins:
 
   - the input tile (one output frame x BH output rows, plus halos) is DMA'd
     from HBM once and the (kt, kw) taps are stacked into the contraction
@@ -34,15 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_bh(h: int, w: int, ci: int, co_blk: int) -> int:
-    """Largest row-tile whose scratch fits comfortably in VMEM (~12 MB)."""
-    budget = 12 * 1024 * 1024
+    """Largest row-tile fitting VMEM. Model: scratch (x tile + tap stack)
+    plus the pipeline's double-buffered weight/bias/out blocks + f32 acc."""
+    budget = 13 * 1024 * 1024
+    w_al = ((w + 2 + 7) // 8) * 8
+    fixed = 2 * (3 * 9 * ci * co_blk * 2 + co_blk * 2)
     for bh in (32, 16, 8, 4, 2, 1):
         if h % bh:
             continue
-        x_tile = 3 * (bh + 2) * (w + 2) * ci * 2
+        x_tile = 3 * (bh + 2) * w_al * ci * 2
         xw = (bh + 2) * w * 9 * ci * 2
+        out_blocks = 2 * bh * w * co_blk * 2
         acc = bh * w * co_blk * 4
-        if x_tile + xw + acc <= budget:
+        if fixed + x_tile + xw + out_blocks + acc <= budget:
             return bh
     return 1
 
@@ -92,13 +99,15 @@ def conv3d_igemm(x: jnp.ndarray, params: dict, *, time_pad: int = 2) -> jnp.ndar
     t_out = t_in + time_pad - 2
     assert t_out >= 1
 
-    co_blk = co if co <= 256 else 256
+    co_blk = co if co <= 128 else 128
     assert co % co_blk == 0
     bh = _pick_bh(h, w, ci, co_blk)
 
-    # channels-last, halo-padded copy in HBM
-    xp = jnp.pad(x, ((0, 0), (0, 0), (time_pad, 0), (1, 1), (1, 1)))
-    xp = xp.transpose(0, 2, 3, 4, 1)                       # [b, t+2, h+2, w+2, ci]
+    # channels-last, halo-padded copy in HBM; the width axis is padded up to
+    # a multiple of 8 so the manual DMA slice is sublane-tile aligned
+    w_al = ((w + 2 + 7) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (0, 0), (time_pad, 0), (1, 1), (1, w_al - w - 1)))
+    xp = xp.transpose(0, 2, 3, 4, 1)                       # [b, t+2, h+2, w_al, ci]
 
     # [co, ci, kt, kh, kw] -> [kh, (kt, kw, ci), co]
     wr = wgt.transpose(3, 2, 4, 1, 0).reshape(3, 9 * ci, co).astype(x.dtype)
@@ -118,7 +127,7 @@ def conv3d_igemm(x: jnp.ndarray, params: dict, *, time_pad: int = 2) -> jnp.ndar
         out_specs=pl.BlockSpec((1, bh, w, co_blk), lambda i, j, k: (i, j, 0, k)),
         out_shape=jax.ShapeDtypeStruct((b * t_out, h, w, co), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, bh + 2, w + 2, ci), x.dtype),
+            pltpu.VMEM((3, bh + 2, w_al, ci), x.dtype),
             pltpu.VMEM(((bh + 2) * w, 9 * ci), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],

@@ -14,8 +14,11 @@ Strategies:
 Usage:  python scripts/bench_conv.py [--quick]
 """
 
+import os
 import sys
 import time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/deepv_jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
