@@ -17,8 +17,9 @@ TPU-first structure:
   - all rollout state (carry-over latents, poses, disparities) stays on
     device as jnp arrays; the host only sequences chunks and picks the
     retrieved-history index (one scalar sync per chunk);
-  - RGB and disparity share batched VAE encode/decode calls (the reference
-    runs them serially, ref pipeline.py:695-696).
+  - RGB and disparity share one batched VAE *encode* call; *decode* stays
+    two serial calls — measured (scripts/probe_decode.py): batch-2 decode is
+    ~32% slower than serial on the v5e at full size.
 """
 
 from __future__ import annotations
@@ -204,7 +205,7 @@ class InferencePipeline:
     def __init__(self, cfg: PipelineConfig, mmdit_cfg: MMDiTConfig,
                  vae_cfg: VAEConfig, params: Dict, text_embeds: Dict,
                  dtype=jnp.bfloat16, use_tiling: bool = False,
-                 decode_window: int = 2, decode_batched: bool = True,
+                 decode_window: int = 2, decode_batched: bool = False,
                  stream_decode: bool = True, text_encoder=None):
         self.cfg = cfg
         self.mcfg = mmdit_cfg
@@ -214,6 +215,10 @@ class InferencePipeline:
         self.dtype = dtype
         self.use_tiling = use_tiling
         self.decode_window = decode_window
+        #: decode rgb+disparity as one batch-2 VAE call. Measured on the v5e
+        #: (scripts/probe_decode.py): batch-2 decode is ~32% SLOWER than two
+        #: serial batch-1 calls at full size, so this defaults to False; it
+        #: remains a win for tiny configs where per-call overhead dominates
         self.decode_batched = decode_batched
         #: decode each unit's latent as soon as it is denoised (exact — the
         #: causal VAE's chunked decode equals the full decode bit-for-bit);
@@ -414,7 +419,10 @@ class InferencePipeline:
         num_units = temp // cfg.frame_per_unit
         start_unit_index = 1 if firstframe_mask else (n_in - 1) // ds + 1
 
-        # streaming decode state: per-stream decoder caches + frame buffers
+        # streaming decode state: per-stream decoder caches + frame buffers.
+        # rgb and disparity are decoded as two serial window calls — measured
+        # (scripts/probe_decode.py): a batch-2 window is ~32% SLOWER than two
+        # batch-1 calls on this chip, so do not "optimise" this into one call
         stream = self.stream_decode
         rgb_cache = disp_cache = None
         rgb_frames, disp_frames = [], []
@@ -545,64 +553,19 @@ class InferencePipeline:
                 guidance_scale=guidance_scale,
                 video_guidance_scale=video_guidance_scale)
 
-            # disparity post-map (ref pipeline.py:311-313)
-            disparitys = jnp.clip(
-                jnp.mean(disparitys, axis=1, keepdims=True) * 0.5 + 0.5, 0, 1)
-            disparitys = jnp.repeat(disparitys, 3, axis=1) ** 2
-            disparitys = disparitys / scale_factor / 0.95
-            trans3d = trans3d.at[:, :, :3, 3].multiply(scale_factor)
-
+            images, disparitys = self._accumulate_chunk(
+                now_iter, images, disparitys, trans3d, trans2d, motion_prompt,
+                scale_factor, images_list, disparity_list, motion_prompt_list,
+                trans3d_list, trans2d_list)
             start_unit += actual_unit - n_unit
-
-            if now_iter == 0:
-                images_list.append(images)
-                disparity_list.append(disparitys)
-                motion_prompt_list.append(np.asarray(motion_prompt))
-                trans3d_list.append(trans3d)
-                trans2d_list.append(trans2d)
-            else:
-                images_list.append(images[:, :, n_img:])
-                disparity_list.append(disparitys[:, :, n_img:])
-                motion_prompt_list.append(np.asarray(motion_prompt[n_unit:]))
-                trans3d_pre = trans3d_list[-1][:, -n_unit]
-                trans3d = jnp.einsum("bij,btjk->btik", trans3d_pre, trans3d)
-                trans3d_list.append(trans3d[:, n_unit:])
-                trans2d_list.append(trans2d[:, n_unit:])
 
             if now_iter == total_iters - 1:
                 break
 
-            # ---- prepare next-chunk conditioning (ref pipeline.py:337-411) --
-            input_image = _quantize_roundtrip(images[:, :, -n_img:])
-
-            input_disparity = disparitys[:, :, -n_img:]
-            if not cfg.no_need_depth:
-                scale_factor = 1.0 / jnp.max(input_disparity[:, :, 0])
-                input_disparity = input_disparity * scale_factor * 0.95
-                input_disparity = jnp.sqrt(input_disparity) * 2.0 - 1.0
-
-            cur_trans3d = jnp.concatenate(trans3d_list, axis=1)[:, -n_unit:]
-            ref_inv = jnp.linalg.inv(cur_trans3d[:, 0])
-            cur_trans3d = jnp.einsum("bij,btjk->btik", ref_inv, cur_trans3d)
-            # absolute -> consecutive relative (ref pipeline.py:357-358)
-            rel = [cur_trans3d[:, 0]]
-            for i in range(1, cur_trans3d.shape[1]):
-                rel.append(jnp.einsum("bij,bjk->bik",
-                                      jnp.linalg.inv(cur_trans3d[:, i - 1]), cur_trans3d[:, i]))
-            cur_trans3d = jnp.stack(rel, axis=1)
-            t3 = cur_trans3d[:, :, :3, 3] / scale_factor
-            cur_trans3d = cur_trans3d.at[:, :, :3, 3].set(
-                jnp.sign(t3) * jnp.sqrt(jnp.abs(t3)))
-
-            input_raymap = raymap_from_camera_batch(
-                jnp.concatenate(trans2d_list, axis=1)[:, -n_unit:],
-                cur_trans3d.astype(jnp.float32),
-                input_disparity.shape[-2:], vae_downsample=cfg.vae_downsample)
-            input_raymap = input_raymap.transpose(0, 2, 1, 3, 4)  # b t c h w -> b c t h w
-
-            input_history = self._retrieve_history(
-                key, images_list, disparity_list, trans3d_list, trans2d_list,
-                scale_factor, n_unit)
+            (input_image, input_disparity, input_raymap, input_history,
+             scale_factor) = self._prepare_carry(
+                key, images, disparitys, scale_factor,
+                images_list, disparity_list, trans3d_list, trans2d_list)
             key, _ = jax.random.split(key)
 
         out_images = jnp.concatenate(images_list, axis=2)
@@ -614,6 +577,82 @@ class InferencePipeline:
             "trans3d": jnp.concatenate(trans3d_list, axis=1),
             "trans2d": jnp.concatenate(trans2d_list, axis=1),
         }
+
+    # -- chunk bookkeeping (shared by generate() and serve.InteractiveSession)
+
+    def _accumulate_chunk(self, now_iter, images, disparitys, trans3d, trans2d,
+                          motion_prompt, scale_factor, images_list,
+                          disparity_list, motion_prompt_list, trans3d_list,
+                          trans2d_list):
+        """Post-chunk disparity map + pose chaining + rollout-list appends
+        (ref pipeline.py:311-368). Mutates the lists; returns the full-chunk
+        ``(images, mapped disparitys)`` used for the next-chunk carry."""
+        cfg = self.cfg
+        n_img, n_unit = cfg.num_input_image, cfg.num_input_unit
+        # disparity post-map (ref pipeline.py:311-313)
+        disparitys = jnp.clip(
+            jnp.mean(disparitys, axis=1, keepdims=True) * 0.5 + 0.5, 0, 1)
+        disparitys = jnp.repeat(disparitys, 3, axis=1) ** 2
+        disparitys = disparitys / scale_factor / 0.95
+        trans3d = trans3d.at[:, :, :3, 3].multiply(scale_factor)
+
+        if now_iter == 0:
+            images_list.append(images)
+            disparity_list.append(disparitys)
+            motion_prompt_list.append(np.asarray(motion_prompt))
+            trans3d_list.append(trans3d)
+            trans2d_list.append(trans2d)
+        else:
+            images_list.append(images[:, :, n_img:])
+            disparity_list.append(disparitys[:, :, n_img:])
+            motion_prompt_list.append(np.asarray(motion_prompt[n_unit:]))
+            trans3d_pre = trans3d_list[-1][:, -n_unit]
+            trans3d = jnp.einsum("bij,btjk->btik", trans3d_pre, trans3d)
+            trans3d_list.append(trans3d[:, n_unit:])
+            trans2d_list.append(trans2d[:, n_unit:])
+        return images, disparitys
+
+    def _prepare_carry(self, key, images, disparitys, scale_factor,
+                       images_list, disparity_list, trans3d_list, trans2d_list):
+        """Next-chunk conditioning from the finished chunk
+        (ref pipeline.py:337-411): uint8-roundtripped overlap pixels,
+        rescaled sqrt-encoded disparity, relative-pose raymap, retrieved
+        history. Returns ``(input_image, input_disparity, input_raymap
+        [unnormalised], input_history, scale_factor)``."""
+        cfg = self.cfg
+        n_img, n_unit = cfg.num_input_image, cfg.num_input_unit
+        input_image = _quantize_roundtrip(images[:, :, -n_img:])
+
+        input_disparity = disparitys[:, :, -n_img:]
+        if not cfg.no_need_depth:
+            scale_factor = 1.0 / jnp.max(input_disparity[:, :, 0])
+            input_disparity = input_disparity * scale_factor * 0.95
+            input_disparity = jnp.sqrt(input_disparity) * 2.0 - 1.0
+
+        cur_trans3d = jnp.concatenate(trans3d_list, axis=1)[:, -n_unit:]
+        ref_inv = jnp.linalg.inv(cur_trans3d[:, 0])
+        cur_trans3d = jnp.einsum("bij,btjk->btik", ref_inv, cur_trans3d)
+        # absolute -> consecutive relative (ref pipeline.py:357-358)
+        rel = [cur_trans3d[:, 0]]
+        for i in range(1, cur_trans3d.shape[1]):
+            rel.append(jnp.einsum("bij,bjk->bik",
+                                  jnp.linalg.inv(cur_trans3d[:, i - 1]), cur_trans3d[:, i]))
+        cur_trans3d = jnp.stack(rel, axis=1)
+        t3 = cur_trans3d[:, :, :3, 3] / scale_factor
+        cur_trans3d = cur_trans3d.at[:, :, :3, 3].set(
+            jnp.sign(t3) * jnp.sqrt(jnp.abs(t3)))
+
+        input_raymap = raymap_from_camera_batch(
+            jnp.concatenate(trans2d_list, axis=1)[:, -n_unit:],
+            cur_trans3d.astype(jnp.float32),
+            input_disparity.shape[-2:], vae_downsample=cfg.vae_downsample)
+        input_raymap = input_raymap.transpose(0, 2, 1, 3, 4)  # b t c h w -> b c t h w
+
+        input_history = self._retrieve_history(
+            key, images_list, disparity_list, trans3d_list, trans2d_list,
+            scale_factor, n_unit)
+        return (input_image, input_disparity, input_raymap, input_history,
+                scale_factor)
 
     # -- history retrieval (ref pipeline.py:370-411) --------------------------
 

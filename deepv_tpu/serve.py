@@ -1,0 +1,423 @@
+"""Interactive world-model serving.
+
+The reference ships only a batch CLI (ref run.py:374-427: render the whole
+action string, then write an mp4). A deployed world model wants the
+opposite interaction: hold state, accept one action at a time, and return
+the newly generated frames immediately. This module provides that surface:
+
+  - ``InteractiveSession`` — the chunked autoregressive rollout of
+    ``InferencePipeline.generate`` (ref pipeline.py:264-424) suspended
+    between latent units: ``start(image)`` then ``step(action) -> frames``.
+    Each step denoises ONE unit and streams it through the carried causal
+    VAE decoder caches, so the first pixels of a step arrive in
+    time-to-first-frame latency (~1.2 s on a v5e) rather than
+    whole-chunk latency. Chunk boundaries (25-frame overlap carry,
+    uint8 roundtrip, pose chaining, history retrieval — ref
+    pipeline.py:337-411) are handled transparently inside ``step``.
+  - ``SessionServer`` — a dependency-free stdlib HTTP server exposing
+    sessions over JSON for remote clients, with a /metrics endpoint.
+
+Exactness: a session stepping through the unit sequence produces the same
+frames as ``generate`` on the equivalent prompt list and seed — the session
+is the same loop with the same PRNG-key splitting order, paused between
+units (tests/test_serve.py pins this).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+import uuid
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pipeline import InferencePipeline, _pyramid_list, _quantize_roundtrip
+from .raymap import raymap_to_camera
+
+
+class InteractiveSession:
+    """One world-model rollout, advanced one latent unit per ``step``.
+
+    Prompt semantics: every ``step(action)`` drives exactly one unit with
+    that action's embedding. (``generate`` instead indexes a padded prompt
+    list in which chunk-boundary entries are skipped — ref
+    pipeline.py:588-607; use ``actions_from_prompt_list`` to convert.)
+    """
+
+    def __init__(self, pipe: InferencePipeline, guidance_scale: float = 4.0,
+                 video_guidance_scale: float = 3.5):
+        self.pipe = pipe
+        self.guidance_scale = guidance_scale
+        self.video_guidance_scale = video_guidance_scale
+        self.started = False
+        self.frames_out = 0
+        self.steps_done = 0
+
+    # -- prompt-list compatibility -------------------------------------------
+
+    @staticmethod
+    def actions_from_prompt_list(cfg, prompts: List[str]) -> List[str]:
+        """The per-unit action sequence that ``generate(prompts)`` executes.
+
+        The rollout's unit k consumes padded prompt k-1 exactly (chunk 1
+        units 1..T drive prompts[0..T-1]; chunk c>=2 units n..T-1 drive the
+        next T-1-n prompts — ref pipeline.py:290-302, 588-607), so this is
+        just ``generate``'s padding rule applied to the list."""
+        T, n = cfg.max_temporal_length, cfg.num_input_unit
+        padded = list(prompts)
+        while (len(padded) - T) % (T - n) != 0 or len(padded) < T:
+            padded.append(padded[-1])
+        return padded
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def start(self, img, seed: int = 666, prompt_type: str = "action") -> None:
+        """Begin a rollout from one conditioning image [3,H,W] or [1,3,H,W]
+        in [-1, 1]. Mirrors ``generate``'s prologue (ref pipeline.py:264-302)."""
+        p = self.pipe
+        img = jnp.asarray(img)
+        if img.ndim == 3:
+            img = img[None, :, None]
+        elif img.ndim == 4:
+            img = img[:, :, None]
+        self.input_image = img.astype(p.dtype)
+        self.use_motion = prompt_type == "action"
+        self.key = jax.random.PRNGKey(seed)
+
+        self.images_list: List[jnp.ndarray] = []
+        self.disparity_list: List[jnp.ndarray] = []
+        self.trans3d_list: List[jnp.ndarray] = []
+        self.trans2d_list: List[jnp.ndarray] = []
+        self.motion_prompt_list: List[np.ndarray] = []
+        self.input_disparity = None
+        self.input_raymap = None
+        self.input_history = None
+        self.scale_factor = jnp.float32(1.0)
+        self.now_iter = 0
+        self.started = True
+        self.frames_out = 0
+        self.steps_done = 0
+        self._begin_chunk()
+
+    def _begin_chunk(self) -> None:
+        """Chunk prologue (ref pipeline.py:526-586): chunk noise, conditioning
+        encode, streaming-decoder reset. Matches generate_i2v's PRNG order."""
+        p, cfg, mcfg = self.pipe, self.pipe.cfg, self.pipe.mcfg
+        if self.input_raymap is not None:
+            self.input_raymap = (self.input_raymap - p.raymap_mean) / p.raymap_std
+
+        self.key, k_chunk = jax.random.split(self.key)
+        self.firstframe_mask = self.input_disparity is None
+        self.num_rows = 2 if self.input_history is None else 3
+        fm = self.firstframe_mask
+        _, _, n_in, height, width = self.input_image.shape
+        ds = cfg.vae_downsample
+
+        temp = cfg.max_temporal_length + int(fm)
+        k_chunk, k_lat, k_enc = jax.random.split(k_chunk, 3)
+        latents = jax.random.normal(
+            k_lat, (1, mcfg.in_channels, temp, height // ds, width // ds), p.dtype)
+        for _ in range(len(cfg.stages) - 1):
+            bb, cc, tt, hh, ww = latents.shape
+            from .ops.resample import down2x_bilinear
+            latents = (down2x_bilinear(latents.reshape(bb, cc * tt, hh, ww)) * 2.0
+                       ).reshape(bb, cc, tt, hh // 2, ww // 2)
+        self.chunk_latents = latents
+
+        if self.input_disparity is not None:
+            stacked = jnp.concatenate([self.input_image, self.input_disparity], axis=0)
+            enc = p._encode_pixels(stacked, k_enc)
+            img_lat, disp_lat = enc[:1], enc[1:2]
+            img_lat = p._norm_image_latent(img_lat)
+            disp_lat = p._norm_image_latent(disp_lat)
+        else:
+            img_lat = p._norm_image_latent(p._encode_pixels(self.input_image, k_enc))
+            disp_lat = jnp.zeros_like(img_lat)
+        if self.input_raymap is None:
+            raymap_lat = jnp.zeros(
+                (img_lat.shape[0], cfg.raymap_dim, 1) + img_lat.shape[3:], img_lat.dtype)
+        else:
+            raymap_lat = self.input_raymap.astype(p.dtype)
+        self.generated = [jnp.concatenate([img_lat, disp_lat, raymap_lat], axis=1
+                                          ).astype(p.dtype)]
+
+        self.num_units = temp // cfg.frame_per_unit
+        self.unit_index = 1 if fm else (n_in - 1) // ds + 1
+        self.chunk_key = k_chunk
+        self.chunk_prompts: List[str] = []
+
+        # streaming decoder state
+        self._rgb_cache = self._disp_cache = None
+        self._rgb_frames: List[jnp.ndarray] = []
+        self._disp_frames: List[jnp.ndarray] = []
+        self._stream_first = True
+        if not fm:
+            self._stream_push(self.generated[0])   # warm caches on the overlap
+
+    def _stream_push(self, lat38):
+        p, cfg = self.pipe, self.pipe.cfg
+        li, ld = jnp.split(lat38[:, :-cfg.raymap_dim], 2, axis=1)
+        yi, self._rgb_cache = p._stream_push(li, self._rgb_cache, self._stream_first)
+        yd, self._disp_cache = p._stream_push(ld, self._disp_cache, self._stream_first)
+        self._rgb_frames.append(yi)
+        self._disp_frames.append(yd)
+        self._stream_first = False
+        return yi, yd
+
+    def step(self, action: str) -> Dict:
+        """Denoise one unit with ``action`` and return its decoded frames.
+
+        Returns {"rgb": [1,3,f,H,W] in [-1,1], "disparity": [1,3,f,H,W]
+        post-mapped as in ref pipeline.py:311-313, "chunk_complete": bool,
+        "frames_total": int}. Handles the chunk boundary internally.
+        """
+        assert self.started, "call start() first"
+        p, cfg = self.pipe, self.pipe.cfg
+        t0 = time.perf_counter()
+
+        prompt = action if self.use_motion else str(action)
+        pe, pm, pp = p._embeds_for(prompt)
+        ne, nm, npo = p._embeds_for("empty")
+        reps = self.num_rows - 1
+        text_embeds = jnp.concatenate([ne] + [pe] * reps, axis=0)
+        text_mask = jnp.concatenate([nm] + [pm] * reps, axis=0)
+        pooled = jnp.concatenate([npo] + [pp] * reps, axis=0)
+        self.chunk_prompts.append(prompt)
+
+        clean = _pyramid_list(jnp.concatenate(self.generated, axis=2),
+                              len(cfg.stages) - 1)
+        past_conditions = p._padded_conditions(clean, self.unit_index,
+                                               self.firstframe_mask, self.num_rows)
+        self.chunk_key, k_unit = jax.random.split(self.chunk_key)
+        fpu = cfg.frame_per_unit
+        cur = self.chunk_latents[:, :, self.unit_index * fpu:(self.unit_index + 1) * fpu]
+        intermed = p._generate_one_unit(
+            k_unit, cur, self.input_history, past_conditions,
+            text_embeds, text_mask, pooled, self.num_rows,
+            guidance=self.video_guidance_scale,
+            history_scale=cfg.history_guidance_scale)
+        self.generated.append(intermed[-1])
+        yi, yd = self._stream_push(intermed[-1])
+
+        # per-unit disparity post-map — scale_factor is constant within a
+        # chunk, so this equals the end-of-chunk map (ref pipeline.py:311-313)
+        if cfg.no_need_depth:
+            disp = jnp.zeros_like(yd)
+        else:
+            disp = jnp.clip(jnp.mean(yd, axis=1, keepdims=True) * 0.5 + 0.5, 0, 1)
+            disp = jnp.repeat(disp, 3, axis=1) ** 2
+            disp = disp / self.scale_factor / 0.95
+
+        self.unit_index += 1
+        self.steps_done += 1
+        chunk_complete = self.unit_index >= self.num_units
+        if chunk_complete:
+            self._finish_chunk()
+        self.frames_out += int(yi.shape[2])
+        self.last_step_s = time.perf_counter() - t0
+        return {"rgb": yi, "disparity": disp,
+                "chunk_complete": chunk_complete,
+                "frames_total": self.frames_out}
+
+    def _finish_chunk(self) -> None:
+        """Chunk epilogue (ref pipeline.py:686-696 + 303-411): recover poses
+        from the generated raymaps, post-map the chunk, prepare the overlap
+        carry, and open the next chunk."""
+        p, cfg = self.pipe, self.pipe.cfg
+        ds = cfg.vae_downsample
+        generated = self.generated[1:] if self.firstframe_mask else self.generated
+        gen = jnp.concatenate(generated, axis=2)
+
+        n_ray = cfg.raymap_dim
+        gen_raymap = gen[:, -n_ray:].astype(jnp.float32) * p.raymap_std + p.raymap_mean
+        trans3d, trans2d = raymap_to_camera(gen_raymap[:, :, 1:],
+                                            append_first_reference=True,
+                                            from_relative_to_absolute=True,
+                                            vae_downsample=ds)
+        images = jnp.concatenate(self._rgb_frames, axis=2)
+        disparitys = jnp.concatenate(self._disp_frames, axis=2)
+        if cfg.no_need_depth:
+            disparitys = jnp.zeros_like(disparitys)
+
+        # _accumulate_chunk slices off the overlap units' prompts for chunks
+        # after the first; the session's list holds only consumed actions, so
+        # pad it back to generate()'s full motion_prompt layout
+        motion = list(self.chunk_prompts)
+        if self.now_iter > 0:
+            motion = [""] * self.pipe.cfg.num_input_unit + motion
+        images, disparitys = p._accumulate_chunk(
+            self.now_iter, images, disparitys, trans3d, trans2d,
+            motion, self.scale_factor,
+            self.images_list, self.disparity_list, self.motion_prompt_list,
+            self.trans3d_list, self.trans2d_list)
+
+        (self.input_image, self.input_disparity, self.input_raymap,
+         self.input_history, self.scale_factor) = p._prepare_carry(
+            self.key, images, disparitys, self.scale_factor,
+            self.images_list, self.disparity_list,
+            self.trans3d_list, self.trans2d_list)
+        self.key, _ = jax.random.split(self.key)
+        self.now_iter += 1
+        self._begin_chunk()
+
+    # -- whole-rollout views --------------------------------------------------
+
+    def result(self) -> Dict:
+        """Rollout-so-far in ``generate``'s output format (completed chunks)."""
+        assert self.images_list, "no completed chunks yet"
+        return {
+            "pred_img": jnp.concatenate(self.images_list, axis=2),
+            "pred_disparity": jnp.concatenate(self.disparity_list, axis=2),
+            "motion_prompt_list": self.motion_prompt_list,
+            "trans3d": jnp.concatenate(self.trans3d_list, axis=1),
+            "trans2d": jnp.concatenate(self.trans2d_list, axis=1),
+        }
+
+
+# ---------------------------------------------------------------------------
+# HTTP serving (stdlib only)
+# ---------------------------------------------------------------------------
+
+def _np_b64(x) -> Dict:
+    a = np.asarray(x, np.float16)
+    return {"shape": list(a.shape), "dtype": "float16",
+            "data": base64.b64encode(a.tobytes()).decode()}
+
+
+def _b64_np(d) -> np.ndarray:
+    a = np.frombuffer(base64.b64decode(d["data"]), np.dtype(d["dtype"]))
+    return a.reshape(d["shape"]).astype(np.float32)
+
+
+class SessionServer:
+    """Minimal JSON-over-HTTP server around ``InteractiveSession``s.
+
+    Endpoints:
+      POST /session {"image": npb64, "seed": int, "prompt_type": str}
+                      -> {"session_id": ...}
+      POST /step    {"session_id": ..., "action": str}
+                      -> {"rgb": npb64, "disparity": npb64,
+                          "chunk_complete": bool, "frames_total": int}
+      GET  /metrics -> {"sessions": n, "frames_out": n, "steps": n}
+
+    One device-owning worker thread serializes all session compute (the chip
+    runs one program at a time anyway); HTTP threads only queue requests.
+    """
+
+    def __init__(self, pipe: InferencePipeline, host: str = "127.0.0.1",
+                 port: int = 0):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.pipe = pipe
+        self.sessions: Dict[str, InteractiveSession] = {}
+        self._lock = threading.Lock()   # serializes device work
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/metrics":
+                    with outer._lock:
+                        self._json(200, {
+                            "sessions": len(outer.sessions),
+                            "frames_out": sum(s.frames_out for s in outer.sessions.values()),
+                            "steps": sum(s.steps_done for s in outer.sessions.values()),
+                        })
+                else:
+                    self._json(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/session":
+                        sid = uuid.uuid4().hex[:12]
+                        sess = InteractiveSession(outer.pipe)
+                        with outer._lock:
+                            sess.start(_b64_np(req["image"]),
+                                       seed=int(req.get("seed", 666)),
+                                       prompt_type=req.get("prompt_type", "action"))
+                            outer.sessions[sid] = sess
+                        self._json(200, {"session_id": sid})
+                    elif self.path == "/step":
+                        sess = outer.sessions.get(req.get("session_id", ""))
+                        if sess is None:
+                            self._json(404, {"error": "unknown session"})
+                            return
+                        with outer._lock:
+                            out = sess.step(req["action"])
+                            rgb = _np_b64(out["rgb"])
+                            disp = _np_b64(out["disparity"])
+                        self._json(200, {
+                            "rgb": rgb, "disparity": disp,
+                            "chunk_complete": bool(out["chunk_complete"]),
+                            "frames_total": int(out["frames_total"])})
+                    else:
+                        self._json(404, {"error": "unknown path"})
+                except Exception as e:   # surface errors to the client
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> int:
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def cli():
+    """python -m deepv_tpu.serve --model_path ./ckpts [--port 8631] …"""
+    import argparse
+
+    from .config import create_model_config
+    from .run import load_pipeline
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8631)
+    p.add_argument("--no_need_depth", action="store_true")
+    p.add_argument("--random_weights", action="store_true",
+                   help="random-initialise the full model (no checkpoint)")
+    args = p.parse_args()
+
+    model_cfg = create_model_config(args.model_path,
+                                    no_need_depth=args.no_need_depth,
+                                    use_motion_prompt=True)
+    pipe = load_pipeline(args.model_path, model_cfg,
+                         random_weights=args.random_weights)
+    server = SessionServer(pipe, host=args.host, port=args.port)
+    port = server.start()
+    print(f"[serve] listening on http://{args.host}:{port} "
+          f"(POST /session, POST /step, GET /metrics)")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,122 @@
+"""Interactive serving tests: session == generate parity, incremental frame
+delivery, and the HTTP server round trip."""
+
+import http.client
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepv_tpu.actions import prepare_motion_prompts
+from deepv_tpu.serve import InteractiveSession, SessionServer, _np_b64
+from test_pipeline import H, W, make_batch, tiny_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return tiny_pipeline()
+
+
+def test_actions_from_prompt_list(pipe):
+    cfg = pipe.cfg
+    a8 = InteractiveSession.actions_from_prompt_list(cfg, list("abcdefgh"))
+    assert a8 == list("abcdefgh")
+    a3 = InteractiveSession.actions_from_prompt_list(cfg, list("abc"))
+    assert a3 == list("abc") + ["c"] * 5          # padded to one chunk
+    a11 = InteractiveSession.actions_from_prompt_list(cfg, list("abcdefghijk"))
+    assert a11 == list("abcdefghijk") + ["k"]     # padded to 2 chunks (12)
+
+
+def test_session_matches_generate(pipe):
+    """Stepping a session through the unit sequence reproduces generate()
+    exactly: same frames, same poses, same prompt bookkeeping."""
+    prompt = "(FN)(FN)(FN)(FN)(FN)(FN)(FN)(fRL)(SR)(BL)(FN)"   # 11 -> 2 chunks
+    batch = make_batch(prompt)
+    ref = pipe.generate(batch, seed=21)
+
+    actions = InteractiveSession.actions_from_prompt_list(
+        pipe.cfg, list(batch["prompt"]))
+    sess = InteractiveSession(pipe)
+    sess.start(batch["img"], seed=21)
+    step_rgb, step_disp = [], []
+    completes = []
+    for a in actions:
+        out = sess.step(a)
+        step_rgb.append(out["rgb"])
+        step_disp.append(out["disparity"])
+        completes.append(out["chunk_complete"])
+
+    # chunk boundaries after unit 8 (step 8) and unit 12 (step 12)
+    assert completes == [False] * 7 + [True] + [False] * 3 + [True]
+
+    got = sess.result()
+    np.testing.assert_array_equal(np.asarray(got["pred_img"]),
+                                  np.asarray(ref["pred_img"]))
+    np.testing.assert_array_equal(np.asarray(got["pred_disparity"]),
+                                  np.asarray(ref["pred_disparity"]))
+    np.testing.assert_array_equal(np.asarray(got["trans3d"]),
+                                  np.asarray(ref["trans3d"]))
+    np.testing.assert_array_equal(np.asarray(got["trans2d"]),
+                                  np.asarray(ref["trans2d"]))
+    for a, b in zip(got["motion_prompt_list"], ref["motion_prompt_list"]):
+        np.testing.assert_array_equal(a, b)
+
+    # the step-returned frames ARE the rollout (overlap re-decodes excluded)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate(step_rgb, axis=2)),
+        np.asarray(ref["pred_img"]))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate(step_disp, axis=2)),
+        np.asarray(ref["pred_disparity"]))
+
+
+def test_session_incremental_delivery(pipe):
+    """Each step returns that unit's frames immediately: 1 frame for the
+    first unit, 8 per unit after (the streaming-decode window law)."""
+    sess = InteractiveSession(pipe)
+    sess.start(make_batch()["img"], seed=22)
+    out = sess.step("Move forward. The perspective hasn't changed.")
+    assert out["rgb"].shape == (1, 3, 1, H, W)
+    assert out["frames_total"] == 1
+    out = sess.step("Move forward. The perspective hasn't changed.")
+    assert out["rgb"].shape == (1, 3, 8, H, W)
+    assert out["frames_total"] == 9
+    assert float(jnp.max(jnp.abs(out["rgb"]))) < 1e4
+    assert out["disparity"].shape == (1, 3, 8, H, W)
+    assert float(out["disparity"].min()) >= 0.0
+
+
+def test_http_server_roundtrip(pipe):
+    server = SessionServer(pipe, port=0)
+    port = server.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        img = np.asarray(make_batch()["img"])
+        body = json.dumps({"image": _np_b64(img), "seed": 23})
+        conn.request("POST", "/session", body,
+                     {"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        sid = resp["session_id"]
+
+        body = json.dumps({"session_id": sid,
+                           "action": "Move forward. The perspective hasn't changed."})
+        conn.request("POST", "/step", body, {"Content-Type": "application/json"})
+        out = json.loads(conn.getresponse().read())
+        assert out["rgb"]["shape"] == [1, 3, 1, H, W]
+        assert out["frames_total"] == 1
+        assert not out["chunk_complete"]
+
+        conn.request("GET", "/metrics")
+        m = json.loads(conn.getresponse().read())
+        assert m["sessions"] == 1 and m["frames_out"] == 1 and m["steps"] == 1
+
+        # unknown session -> 404
+        body = json.dumps({"session_id": "nope", "action": "x"})
+        conn.request("POST", "/step", body, {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+    finally:
+        server.stop()
