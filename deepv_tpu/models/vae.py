@@ -74,16 +74,16 @@ def causal_group_norm(x: jnp.ndarray, num_groups: int, p: dict,
 
 
 def resnet_apply(p: dict, x: jnp.ndarray, cache, mode: str, groups: int,
-                 cp_axis=None, impl: str = "xla"):
+                 cp_axis=None, impl: str = "xla", tp_axis=None):
     """CausalResnetBlock3D (ref vae.py:254-310)."""
     h = causal_group_norm(x, groups, p["norm1"], cp_axis)
     h = silu(h)
     h, c1 = causal_conv3d(h, p["conv1"], _get(cache, "conv1"), mode=mode,
-                          cp_axis=cp_axis, impl=impl)
+                          cp_axis=cp_axis, tp_axis=tp_axis, impl=impl)
     h = causal_group_norm(h, groups, p["norm2"], cp_axis)
     h = silu(h)
     h, c2 = causal_conv3d(h, p["conv2"], _get(cache, "conv2"), mode=mode,
-                          cp_axis=cp_axis, impl=impl)
+                          cp_axis=cp_axis, tp_axis=tp_axis, impl=impl)
     if "conv_shortcut" in p:
         x, _ = causal_conv3d(x, p["conv_shortcut"], None, mode=mode, cp_axis=cp_axis)
     return x + h, {"conv1": c1, "conv2": c2}
@@ -122,36 +122,39 @@ def attn2d_apply(p: dict, x: jnp.ndarray, groups: int, cp_axis=None) -> jnp.ndar
 
 
 def midblock_apply(p: dict, x: jnp.ndarray, cache, mode: str, groups: int,
-                   cp_axis=None, impl: str = "xla"):
+                   cp_axis=None, impl: str = "xla", tp_axis=None):
     """CausalUNetMidBlock2D: resnet, then (attn, resnet) pairs (ref vae.py:459-469)."""
     caches = []
     x, c0 = resnet_apply(p["resnets"][0], x, _idx(_get(cache, "resnets"), 0),
-                         mode, groups, cp_axis, impl)
+                         mode, groups, cp_axis, impl, tp_axis)
     caches.append(c0)
     for i, attn in enumerate(p["attentions"]):
         if attn is not None:
             x = attn2d_apply(attn, x, groups, cp_axis)
         x, ci = resnet_apply(p["resnets"][i + 1], x,
                              _idx(_get(cache, "resnets"), i + 1), mode, groups,
-                             cp_axis, impl)
+                             cp_axis, impl, tp_axis)
         caches.append(ci)
     return x, {"resnets": caches}
 
 
-def spatial_down_apply(p: dict, x, cache, mode: str, cp_axis=None):
+def spatial_down_apply(p: dict, x, cache, mode: str, cp_axis=None, tp_axis=None):
     """CausalDownsample2x: causal conv stride (1,2,2) (ref vae.py:312-335)."""
-    return causal_conv3d(x, p, cache, mode=mode, stride=(1, 2, 2), cp_axis=cp_axis)
+    return causal_conv3d(x, p, cache, mode=mode, stride=(1, 2, 2), cp_axis=cp_axis,
+                         tp_axis=tp_axis)
 
 
-def temporal_down_apply(p: dict, x, cache, mode: str, cp_axis=None):
+def temporal_down_apply(p: dict, x, cache, mode: str, cp_axis=None, tp_axis=None):
     """CausalTemporalDownsample2x: causal conv stride (2,1,1) (ref vae.py:337-357)."""
-    return causal_conv3d(x, p, cache, mode=mode, stride=(2, 1, 1), cp_axis=cp_axis)
+    return causal_conv3d(x, p, cache, mode=mode, stride=(2, 1, 1), cp_axis=cp_axis,
+                         tp_axis=tp_axis)
 
 
 def spatial_up_apply(p: dict, x, cache, mode: str, cp_axis=None,
-                     impl: str = "xla"):
+                     impl: str = "xla", tp_axis=None):
     """CausalUpsample2x: conv to 4c then 2x2 pixel shuffle (ref vae.py:359-383)."""
-    y, c = causal_conv3d(x, p, cache, mode=mode, cp_axis=cp_axis, impl=impl)
+    y, c = causal_conv3d(x, p, cache, mode=mode, cp_axis=cp_axis,
+                         tp_axis=tp_axis, impl=impl)
     b, c4, t, h, w = y.shape
     y = y.reshape(b, c4 // 4, 2, 2, t, h, w)
     y = y.transpose(0, 1, 4, 5, 2, 6, 3)  # b c t h p1 w p2
@@ -160,10 +163,11 @@ def spatial_up_apply(p: dict, x, cache, mode: str, cp_axis=None,
 
 
 def temporal_up_apply(p: dict, x, cache, mode: str, cp_axis=None,
-                      impl: str = "xla"):
+                      impl: str = "xla", tp_axis=None):
     """CausalTemporalUpsample2x: conv to 2c, temporal unshuffle, drop the
     duplicated first frame on the initial chunk (ref vae.py:385-410)."""
-    y, c = causal_conv3d(x, p, cache, mode=mode, cp_axis=cp_axis, impl=impl)
+    y, c = causal_conv3d(x, p, cache, mode=mode, cp_axis=cp_axis,
+                         tp_axis=tp_axis, impl=impl)
     b, c2, t, h, w = y.shape
     y = y.reshape(b, c2 // 2, 2, t, h, w)
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, c2 // 2, t * 2, h, w)
@@ -177,13 +181,14 @@ def temporal_up_apply(p: dict, x, cache, mode: str, cp_axis=None,
 # ---------------------------------------------------------------------------
 
 def encoder_apply(cfg: VAEConfig, p: dict, x: jnp.ndarray, cache=None,
-                  mode: str = "full", cp_axis=None):
+                  mode: str = "full", cp_axis=None, tp_axis=None):
     """CausalVaeEncoder + quant conv -> Gaussian moments (ref vae.py:630-689)."""
     groups = cfg.encoder_norm_num_groups
     impl = cfg.conv_impl
     caches = {}
     x, caches["conv_in"] = causal_conv3d(x, p["conv_in"], _get(cache, "conv_in"),
-                                         mode=mode, cp_axis=cp_axis, impl=impl)
+                                         mode=mode, cp_axis=cp_axis,
+                                         tp_axis=tp_axis, impl=impl)
 
     block_caches = []
     for i in range(len(cfg.encoder_block_out_channels)):
@@ -192,39 +197,43 @@ def encoder_apply(cfg: VAEConfig, p: dict, x: jnp.ndarray, cache=None,
         rcaches = []
         for j in range(cfg.encoder_layers_per_block[i]):
             x, rc = resnet_apply(bp["resnets"][j], x, _idx(_get(bc, "resnets"), j),
-                                 mode, groups, cp_axis, impl)
+                                 mode, groups, cp_axis, impl, tp_axis)
             rcaches.append(rc)
         out = {"resnets": rcaches}
         if cfg.encoder_spatial_down_sample[i]:
             x, out["downsampler"] = spatial_down_apply(bp["downsampler"], x,
-                                                       _get(bc, "downsampler"), mode, cp_axis)
+                                                       _get(bc, "downsampler"), mode,
+                                                       cp_axis, tp_axis)
         if cfg.encoder_temporal_down_sample[i]:
             x, out["temporal_downsampler"] = temporal_down_apply(
-                bp["temporal_downsampler"], x, _get(bc, "temporal_downsampler"), mode, cp_axis)
+                bp["temporal_downsampler"], x, _get(bc, "temporal_downsampler"), mode,
+                cp_axis, tp_axis)
         block_caches.append(out)
     caches["down_blocks"] = block_caches
 
     x, caches["mid_block"] = midblock_apply(p["mid_block"], x, _get(cache, "mid_block"),
-                                            mode, groups, cp_axis, impl)
+                                            mode, groups, cp_axis, impl, tp_axis)
     x = causal_group_norm(x, groups, p["conv_norm_out"], cp_axis)
     x = silu(x)
     x, caches["conv_out"] = causal_conv3d(x, p["conv_out"], _get(cache, "conv_out"),
-                                          mode=mode, cp_axis=cp_axis, impl=impl)
+                                          mode=mode, cp_axis=cp_axis,
+                                          tp_axis=tp_axis, impl=impl)
     moments, _ = causal_conv3d(x, p["quant_conv"], None, mode=mode, cp_axis=cp_axis)
     return moments, caches
 
 
 def decoder_apply(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache=None,
-                  mode: str = "full", cp_axis=None):
+                  mode: str = "full", cp_axis=None, tp_axis=None):
     """post-quant conv + CausalVaeDecoder -> sample (ref vae.py:691-751)."""
     groups = cfg.decoder_norm_num_groups
     impl = cfg.conv_impl
     caches = {}
     z, _ = causal_conv3d(z, p["post_quant_conv"], None, mode=mode, cp_axis=cp_axis)
     x, caches["conv_in"] = causal_conv3d(z, p["conv_in"], _get(cache, "conv_in"),
-                                         mode=mode, cp_axis=cp_axis, impl=impl)
+                                         mode=mode, cp_axis=cp_axis,
+                                         tp_axis=tp_axis, impl=impl)
     x, caches["mid_block"] = midblock_apply(p["mid_block"], x, _get(cache, "mid_block"),
-                                            mode, groups, cp_axis, impl)
+                                            mode, groups, cp_axis, impl, tp_axis)
 
     block_caches = []
     for i in range(len(cfg.decoder_block_out_channels)):
@@ -233,24 +242,25 @@ def decoder_apply(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache=None,
         rcaches = []
         for j in range(cfg.decoder_layers_per_block[i]):
             x, rc = resnet_apply(bp["resnets"][j], x, _idx(_get(bc, "resnets"), j),
-                                 mode, groups, cp_axis, impl)
+                                 mode, groups, cp_axis, impl, tp_axis)
             rcaches.append(rc)
         out = {"resnets": rcaches}
         if cfg.decoder_spatial_up_sample[i]:
             x, out["upsampler"] = spatial_up_apply(bp["upsampler"], x,
                                                    _get(bc, "upsampler"), mode,
-                                                   cp_axis, impl)
+                                                   cp_axis, impl, tp_axis)
         if cfg.decoder_temporal_up_sample[i]:
             x, out["temporal_upsampler"] = temporal_up_apply(
                 bp["temporal_upsampler"], x, _get(bc, "temporal_upsampler"), mode,
-                cp_axis, impl)
+                cp_axis, impl, tp_axis)
         block_caches.append(out)
     caches["up_blocks"] = block_caches
 
     x = causal_group_norm(x, groups, p["conv_norm_out"], cp_axis)
     x = silu(x)
     x, caches["conv_out"] = causal_conv3d(x, p["conv_out"], _get(cache, "conv_out"),
-                                          mode=mode, cp_axis=cp_axis, impl=impl)
+                                          mode=mode, cp_axis=cp_axis,
+                                          tp_axis=tp_axis, impl=impl)
     return x, caches
 
 

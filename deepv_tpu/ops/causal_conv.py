@@ -64,6 +64,7 @@ def causal_conv3d(
     mode: str = "full",
     stride: Tuple[int, int, int] = (1, 1, 1),
     cp_axis: Optional[str] = None,
+    tp_axis: Optional[str] = None,
     impl: str = "xla",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Apply a causal conv3d. Returns ``(y, new_cache)``.
@@ -75,6 +76,17 @@ def causal_conv3d(
     ``cp_axis``: inside a shard_map over the height axis, exchange spatial
     halos with neighbours instead of zero-padding H locally.
 
+    ``tp_axis``: inside a shard_map over the TIME axis (``mode="cont"``
+    only), the temporal context comes from the previous rank instead of a
+    carried cache: each rank ``ppermute``s its trailing two input frames to
+    the next rank — the ICI equivalent of the reference's isend/irecv ring
+    (ref vae.py:87-111, 208-223) — and rank 0 uses ``cache`` (the 1-frame
+    init window's cache, replicated). Requires >= 2 local frames so the
+    halo never spans more than one neighbour (the reference's small-chunk
+    double-pass hack, ref vae.py:210-213, is excluded by construction).
+    Composes with ``cp_axis``: spatial halos are exchanged first, so the
+    temporal halo rows are already spatially extended like a cache.
+
     ``impl="igemm"``: route eligible 3x3x3 stride-1 layers through the Pallas
     implicit-GEMM kernel (ops/conv_igemm.py); others fall back to XLA.
     """
@@ -84,6 +96,18 @@ def causal_conv3d(
 
     if cp_axis is not None:
         x, hp = _cp_halo_h(x, cp_axis, kh, stride[1])
+
+    if tp_axis is not None and kt > 1:
+        assert mode == "cont", "temporal CP runs every shard in cont mode"
+        assert cache is not None, "temporal CP needs the init window's cache"
+        assert x.shape[2] >= 2, \
+            "temporal CP needs >= 2 local frames at every temporal level"
+        n = lax.axis_size(tp_axis)
+        halo = lax.ppermute(x[:, :, -2:], tp_axis,
+                            [(i, i + 1) for i in range(n - 1)])
+        # ppermute zero-fills rank 0; inject the init-window cache there
+        is0 = (lax.axis_index(tp_axis) == 0)
+        cache = jnp.where(is0, cache.astype(x.dtype), halo)
 
     igemm = (impl == "igemm" and cp_axis is None
              and supports_igemm(params["weight"].shape, stride, x.dtype,

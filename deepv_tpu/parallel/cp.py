@@ -1,21 +1,28 @@
-"""Context parallelism for the causal video VAE — shard_map over height.
+"""Context parallelism for the causal video VAE — shard_map over height
+(spatial CP) and over time (temporal CP, the reference's axis).
 
 The reference ships dormant *temporal* context-parallel scaffolding built on
 torch.distributed isend/irecv rings (ref vae.py:22-153, never initialised).
-The TPU-native replacement shards the VAE's dominant cost — full-resolution
-spatial convolution — across the ICI mesh along the image height axis:
+Two TPU-native schemes replace it, both exact (single-device output up to
+float reassociation) and composable with each other:
+
+**Spatial CP** (``cp_vae_*``) shards the VAE's dominant cost —
+full-resolution spatial convolution — along the image height axis:
 
   - every k=3 convolution exchanges one-row halos with its neighbours via
     ``lax.ppermute`` (zero-fill at the mesh edges == the conv's zero padding);
   - per-frame group-norm statistics are psum'd across the axis;
   - the bottleneck mid-block attention all_gathers rows (cheap at 1/8 res);
-  - temporal chunking (the reference CP's axis) composes orthogonally: each
-    shard carries its own cache slice.
+  - temporal chunking composes orthogonally: each shard carries its own
+    cache slice.
+  Requirements: pixel H divisible by (n_shards * 8); latent H divisible by
+  n_shards.
 
-Unlike the reference's temporal scheme (whose stride-2 ragged splits don't
-fit SPMD equal shards), height sharding is exact: outputs match the
-single-device VAE bit-for-bit up to float reassociation. Requirements:
-pixel H divisible by (n_shards * 8); latent H divisible by n_shards.
+**Temporal CP** (``tcp_vae_*``) shards along time like the reference, with
+the ragged first frame handled as a replicated 1-frame init window instead
+of an oversized rank 0, and the isend/irecv ring as a ``ppermute`` of each
+conv's trailing input frames (see the comment block above ``tcp_vae_encode``
+and ops/causal_conv.py ``tp_axis``).
 """
 
 from __future__ import annotations
@@ -26,7 +33,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import VAEConfig
 from ..models.vae import _split_windows, decoder_apply, encoder_apply
@@ -44,7 +51,7 @@ def cp_vae_encode(cfg: VAEConfig, params: dict, x: jnp.ndarray, mesh: Mesh,
         shard_map, mesh=mesh,
         in_specs=(P(), P(None, None, None, axis, None)),
         out_specs=P(None, None, None, axis, None),
-        check_rep=False)
+        check_vma=False)
     def run(p, xs):
         m, _ = encoder_apply(cfg, p, xs, mode="full", cp_axis=axis)
         return m
@@ -63,7 +70,7 @@ def cp_vae_decode(cfg: VAEConfig, params: dict, z: jnp.ndarray, mesh: Mesh,
         shard_map, mesh=mesh,
         in_specs=(P(), P(None, None, None, axis, None)),
         out_specs=P(None, None, None, axis, None),
-        check_rep=False)
+        check_vma=False)
     def run(p, zs):
         y, _ = decoder_apply(cfg, p, zs, mode="full", cp_axis=axis)
         return y
@@ -99,6 +106,71 @@ def _dec_fn(cfg, p, z, cache, mode, axis):
     return decoder_apply(cfg, p, z, cache, mode, cp_axis=axis)
 
 
+# ---------------------------------------------------------------------------
+# Temporal context parallelism (the reference's axis, ref vae.py:22-153)
+# ---------------------------------------------------------------------------
+#
+# The reference rings each causal conv's trailing kernel-1 input frames to
+# the next rank (isend/irecv, ref vae.py:87-111) with a ragged split whose
+# first rank carries the special first frame. The SPMD equivalent: decode
+# the first frame as a 1-frame "init" window (replicated, cheap — it is
+# causally independent of everything after it), shard the remaining frames
+# equally, and realise each conv's cont-mode cache as a ``ppermute`` of the
+# neighbour's trailing input frames, with rank 0 consuming the init cache
+# (ops/causal_conv.py ``tp_axis``). Exact: every rank computes the same
+# windows the sequential chunked mode would.
+#
+# Constraints (per-rank lengths must stay >= 2 at every temporal level so a
+# halo never spans two ranks — the reference's small-chunk double-pass hack,
+# ref vae.py:210-213, is excluded): encoder >= 16 pixel frames per rank and
+# divisible by 8; decoder >= 2 latent frames per rank.
+
+def tcp_vae_encode(cfg: VAEConfig, params: dict, x: jnp.ndarray, mesh: Mesh,
+                   axis: str = "tp") -> jnp.ndarray:
+    """Encode sharded over TIME. x: [b, 3, 1 + n*k, H, W], k % 8 == 0, k >= 16."""
+    from ..models.vae import _enc_window
+    pe = params["encoder"] if "encoder" in params else params
+    n = mesh.shape[axis]
+    k = (x.shape[2] - 1) // n
+    assert x.shape[2] == 1 + n * k and k >= 16 and k % 8 == 0, \
+        f"temporal CP encode needs t = 1 + n*k with k>=16, k%8==0; got t={x.shape[2]}, n={n}"
+    m0, cache0 = _enc_window(cfg, pe, x[:, :, :1], None, "init")
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(None, None, axis, None, None)),
+        out_specs=P(None, None, axis, None, None),
+        check_vma=False)
+    def run(p, c0, xs):
+        m, _ = encoder_apply(cfg, p, xs, c0, "cont", tp_axis=axis)
+        return m
+
+    return jnp.concatenate([m0, run(pe, cache0, x[:, :, 1:])], axis=2)
+
+
+def tcp_vae_decode(cfg: VAEConfig, params: dict, z: jnp.ndarray, mesh: Mesh,
+                   axis: str = "tp") -> jnp.ndarray:
+    """Decode sharded over TIME. z: [b, zc, 1 + n*k, h, w], k >= 2."""
+    from ..models.vae import _dec_window
+    pd = params["decoder"] if "decoder" in params else params
+    n = mesh.shape[axis]
+    k = (z.shape[2] - 1) // n
+    assert z.shape[2] == 1 + n * k and k >= 2, \
+        f"temporal CP decode needs t = 1 + n*k with k>=2; got t={z.shape[2]}, n={n}"
+    y0, cache0 = _dec_window(cfg, pd, z[:, :, :1], None, "init")
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(None, None, axis, None, None)),
+        out_specs=P(None, None, axis, None, None),
+        check_vma=False)
+    def run(p, c0, zs):
+        y, _ = decoder_apply(cfg, p, zs, c0, "cont", tp_axis=axis)
+        return y
+
+    return jnp.concatenate([y0, run(pd, cache0, z[:, :, 1:])], axis=2)
+
+
 def cp_vae_encode_chunked(cfg: VAEConfig, params: dict, x: jnp.ndarray,
                           mesh: Mesh, axis: str = "cp",
                           window_size: int = 16) -> jnp.ndarray:
@@ -114,7 +186,7 @@ def cp_vae_encode_chunked(cfg: VAEConfig, params: dict, x: jnp.ndarray,
         shard_map, mesh=mesh,
         in_specs=(P(), P(None, None, None, axis, None)),
         out_specs=P(None, None, None, axis, None),
-        check_rep=False)
+        check_vma=False)
     def run(p, xs):
         return _chunk_windows(cfg, p, xs, sizes, axis, _enc_fn)
 
@@ -134,7 +206,7 @@ def cp_vae_decode_chunked(cfg: VAEConfig, params: dict, z: jnp.ndarray,
         shard_map, mesh=mesh,
         in_specs=(P(), P(None, None, None, axis, None)),
         out_specs=P(None, None, None, axis, None),
-        check_rep=False)
+        check_vma=False)
     def run(p, zs):
         return _chunk_windows(cfg, p, zs, sizes, axis, _dec_fn)
 

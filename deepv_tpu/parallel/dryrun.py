@@ -98,10 +98,11 @@ def _run_dryrun_on(devices, dp: int, tp: int, verbose: bool) -> float:
         loss = float(loss)
     assert np.isfinite(loss), f"dryrun loss not finite: {loss}"
 
-    # context-parallel VAE encode over the full device set
+    # context-parallel VAE over the full device set: spatial CP encode +
+    # temporal CP decode (the reference's CP axis, ref vae.py:22-153)
     from ..config import VAEConfig
     from ..models.vae import init_vae_params
-    from .cp import cp_vae_encode
+    from .cp import cp_vae_encode, tcp_vae_decode
     vcfg = VAEConfig.tiny()
     vparams = init_vae_params(jax.random.PRNGKey(5), vcfg)
     cp_mesh = make_mesh((n,), ("cp",), devices=devices)
@@ -109,8 +110,15 @@ def _run_dryrun_on(devices, dp: int, tp: int, verbose: bool) -> float:
     moments = cp_vae_encode(vcfg, vparams, x, cp_mesh)
     assert np.isfinite(np.asarray(moments, np.float32)).all()
 
+    tcp_mesh = make_mesh((n,), ("tp",), devices=devices)
+    z = jax.random.normal(jax.random.PRNGKey(7),
+                          (1, vcfg.encoder_out_channels, 1 + 2 * n, 8, 4))
+    pixels = tcp_vae_decode(vcfg, vparams, z, tcp_mesh)
+    assert np.isfinite(np.asarray(pixels, np.float32)).all()
+
     if verbose:
         print(f"[dryrun] mesh {mesh.devices.shape} axes {mesh.axis_names} "
               f"(dp={dp} tp={tp}) loss={loss:.4f}; "
-              f"cp mesh {cp_mesh.devices.shape} vae encode ok")
+              f"cp mesh {cp_mesh.devices.shape} vae encode ok; "
+              f"temporal-cp decode of {z.shape[2]} latent frames ok")
     return loss

@@ -9,7 +9,8 @@ import pytest
 from deepv_tpu.config import MMDiTConfig, VAEConfig
 from deepv_tpu.models.vae import decoder_apply, encoder_apply, init_vae_params
 from deepv_tpu.parallel.cp import (cp_vae_decode, cp_vae_decode_chunked,
-                                   cp_vae_encode, cp_vae_encode_chunked)
+                                   cp_vae_encode, cp_vae_encode_chunked,
+                                   tcp_vae_decode, tcp_vae_encode)
 from deepv_tpu.parallel.mesh import make_mesh
 from deepv_tpu.parallel.tp import mmdit_param_spec, shard_mmdit_params
 
@@ -81,6 +82,44 @@ def test_cp_composes_with_temporal_chunking(vae_params):
         sharded_d = cp_vae_decode_chunked(CFG, p64, z, mesh, window_size=2)
         np.testing.assert_allclose(np.asarray(single_d), np.asarray(full_d), atol=1e-6)
         np.testing.assert_allclose(np.asarray(sharded_d), np.asarray(single_d), atol=1e-6)
+
+
+def test_temporal_cp_decode_matches_single_device(vae_params):
+    """Temporal CP (the reference's axis, ref vae.py:22-153): decode sharded
+    over TIME equals the single-device full decode exactly in f64 — the
+    ppermute halo ring == the reference's isend/irecv ring."""
+    mesh = make_mesh((4,), ("tp",))
+    with jax.enable_x64():
+        p64 = jax.tree.map(lambda a: a.astype(jnp.float64), vae_params)
+        # 1 + 4 ranks * 2 latent frames
+        z = jax.random.normal(jax.random.PRNGKey(21),
+                              (1, CFG.encoder_out_channels, 9, 8, 4), jnp.float64)
+        single, _ = decoder_apply(CFG, p64["decoder"], z, mode="full")
+        sharded = tcp_vae_decode(CFG, p64, z, mesh)
+        assert sharded.shape == single.shape
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                                   atol=1e-6)
+
+
+def test_temporal_cp_encode_matches_single_device(vae_params):
+    mesh = make_mesh((2,), ("tp",))
+    with jax.enable_x64():
+        p64 = jax.tree.map(lambda a: a.astype(jnp.float64), vae_params)
+        # 1 + 2 ranks * 16 pixel frames
+        x = jax.random.normal(jax.random.PRNGKey(22), (1, 3, 33, 32, 32),
+                              jnp.float64)
+        single, _ = encoder_apply(CFG, p64["encoder"], x, mode="full")
+        sharded = tcp_vae_encode(CFG, p64, x, mesh)
+        assert sharded.shape == single.shape
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                                   atol=1e-6)
+
+
+def test_temporal_cp_rejects_bad_split(vae_params):
+    mesh = make_mesh((4,), ("tp",))
+    z = jnp.zeros((1, CFG.encoder_out_channels, 8, 8, 4))  # (8-1) % 4 != 0
+    with pytest.raises(AssertionError):
+        tcp_vae_decode(CFG, vae_params, z, mesh)
 
 
 def test_tp_param_specs():
