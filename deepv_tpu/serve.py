@@ -50,10 +50,22 @@ class InteractiveSession:
     """
 
     def __init__(self, pipe: InferencePipeline, guidance_scale: float = 4.0,
-                 video_guidance_scale: float = 3.5):
+                 video_guidance_scale: float = 3.5,
+                 reuse_decoder_cache: bool = False):
         self.pipe = pipe
         self.guidance_scale = guidance_scale
         self.video_guidance_scale = video_guidance_scale
+        #: carry the streaming VAE-decoder caches across chunk boundaries
+        #: instead of re-decoding the 25 overlap frames to warm fresh caches
+        #: (what generate()/the reference do, ref pipeline.py:316-317).
+        #: Removes the boundary latency hitch (~2.5 s of overlap re-decode
+        #: per boundary at full size). Deliberate fidelity deviation, OFF by
+        #: default: chunk>=2 pixels decode through cache state from the
+        #: previous chunk's original stream rather than the reference's
+        #: re-decode of the re-encoded overlap, and since carried pixels
+        #: feed the next chunk's conditioning, the rollout drifts from the
+        #: reference walk from the second boundary onward.
+        self.reuse_decoder_cache = reuse_decoder_cache
         self.started = False
         self.frames_out = 0
         self.steps_done = 0
@@ -152,12 +164,14 @@ class InteractiveSession:
         self.chunk_prompts: List[str] = []
 
         # streaming decoder state
-        self._rgb_cache = self._disp_cache = None
+        reuse = self.reuse_decoder_cache and self.now_iter > 0
         self._rgb_frames: List[jnp.ndarray] = []
         self._disp_frames: List[jnp.ndarray] = []
-        self._stream_first = True
-        if not fm:
-            self._stream_push(self.generated[0])   # warm caches on the overlap
+        if not reuse:
+            self._rgb_cache = self._disp_cache = None
+            self._stream_first = True
+            if not fm:
+                self._stream_push(self.generated[0])   # warm caches on the overlap
 
     def _stream_push(self, lat38):
         p, cfg = self.pipe, self.pipe.cfg
@@ -241,6 +255,14 @@ class InteractiveSession:
                                             vae_downsample=ds)
         images = jnp.concatenate(self._rgb_frames, axis=2)
         disparitys = jnp.concatenate(self._disp_frames, axis=2)
+        if self.reuse_decoder_cache and self.now_iter > 0:
+            # the overlap was not re-decoded; restore the previous chunk's
+            # tail so the bookkeeping sees the full 57-frame layout
+            images = jnp.concatenate([self._tail_rgb, images], axis=2)
+            disparitys = jnp.concatenate([self._tail_disp, disparitys], axis=2)
+        n_img = cfg.num_input_image
+        self._tail_rgb = images[:, :, -n_img:]
+        self._tail_disp = disparitys[:, :, -n_img:]
         if cfg.no_need_depth:
             disparitys = jnp.zeros_like(disparitys)
 

@@ -88,6 +88,37 @@ def test_session_incremental_delivery(pipe):
     assert float(out["disparity"].min()) >= 0.0
 
 
+def test_session_reuse_decoder_cache(pipe):
+    """reuse_decoder_cache=True skips the boundary overlap re-decode: the
+    rollout keeps the same geometry/shapes, chunk 1 is bit-identical to the
+    default mode, and only decoded pixels after the boundary may deviate."""
+    prompt = "(FN)(FN)(FN)(FN)(FN)(FN)(FN)(fRL)(SR)(BL)(FN)"
+    batch = make_batch(prompt)
+    actions = InteractiveSession.actions_from_prompt_list(
+        pipe.cfg, list(batch["prompt"]))
+
+    ref = InteractiveSession(pipe)
+    ref.start(batch["img"], seed=31)
+    fast = InteractiveSession(pipe, reuse_decoder_cache=True)
+    fast.start(batch["img"], seed=31)
+    r_frames, f_frames = [], []
+    for a in actions:
+        r_frames.append(ref.step(a)["rgb"])
+        f_frames.append(fast.step(a)["rgb"])
+
+    got, want = fast.result(), ref.result()
+    assert got["pred_img"].shape == want["pred_img"].shape
+    # chunk 1 (57 frames) decodes identically — the flag only changes what
+    # happens at the boundary
+    np.testing.assert_array_equal(np.asarray(got["pred_img"][:, :, :57]),
+                                  np.asarray(want["pred_img"][:, :, :57]))
+    # chunk 2's denoised latents see identical conditioning (the re-encode
+    # path is unchanged at the FIRST boundary), so the poses agree exactly
+    np.testing.assert_array_equal(np.asarray(got["trans3d"]),
+                                  np.asarray(want["trans3d"]))
+    assert np.isfinite(np.asarray(got["pred_img"], np.float32)).all()
+
+
 def test_http_server_roundtrip(pipe):
     server = SessionServer(pipe, port=0)
     port = server.start()
