@@ -115,9 +115,12 @@ class VAEConfig:
     scaling_factor: float = 0.18215
 
     #: conv backend for eligible 3x3x3 stride-1 layers: "xla" (direct
-    #: lax.conv) or "igemm" (Pallas implicit-GEMM kernel, TPU only —
-    #: ops/conv_igemm.py). Runtime knob, not a checkpoint hyperparameter;
-    #: static under jit so flipping it recompiles correctly.
+    #: lax.conv — measured fastest overall, the default), "igemm" (Pallas
+    #: implicit-GEMM kernel, TPU only — ops/conv_igemm.py), or "int8"
+    #: (quality-gated quantised path at the >=256px levels where int8
+    #: measured 1.1-1.6x — ops/conv_int8.py; output deviates from bf16 by
+    #: ~1% quantisation noise). Runtime knob, not a checkpoint
+    #: hyperparameter; static under jit so flipping it recompiles correctly.
     conv_impl: str = "xla"
 
     @classmethod

@@ -28,6 +28,7 @@ from jax import lax
 
 from .basic import conv3d
 from .conv_igemm import conv3d_igemm, supports_igemm
+from .conv_int8 import conv3d_int8, supports_int8
 
 
 def _cp_halo_h(x: jnp.ndarray, axis_name: str, kh: int, stride_h: int) -> Tuple[jnp.ndarray, int]:
@@ -112,10 +113,15 @@ def causal_conv3d(
     igemm = (impl == "igemm" and cp_axis is None
              and supports_igemm(params["weight"].shape, stride, x.dtype,
                                 x.shape[3], x.shape[4]))
+    int8 = (impl == "int8" and cp_axis is None
+            and supports_int8(params["weight"].shape, stride, x.shape[3]))
 
     if mode == "full" or kt == 1:
         if igemm:
             return conv3d_igemm(x, params, time_pad=2), None
+        if int8:
+            return conv3d_int8(x, params,
+                               padding=((time_pad, 0), (hp, hp), (wp, wp))), None
         y = conv3d(x, params, stride=stride,
                    padding=((time_pad, 0), (hp, hp), (wp, wp)))
         return y, None
@@ -129,6 +135,9 @@ def causal_conv3d(
         new_cache = xp[:, :, -2:]
         if igemm:
             return conv3d_igemm(xp, params, time_pad=0), new_cache
+        if int8:
+            return conv3d_int8(xp, params,
+                               padding=((0, 0), (hp, hp), (wp, wp))), new_cache
         y = conv3d(xp, params, stride=stride, padding=((0, 0), (hp, hp), (wp, wp)))
         return y, new_cache
 
@@ -143,6 +152,9 @@ def causal_conv3d(
         new_cache = xp[:, :, -2:]
         if igemm:
             return conv3d_igemm(xp, params, time_pad=0), new_cache
+        if int8:
+            return conv3d_int8(xp, params,
+                               padding=((0, 0), (hp, hp), (wp, wp))), new_cache
         y = conv3d(xp, params, stride=stride, padding=((0, 0), (hp, hp), (wp, wp)))
         return y, new_cache
 

@@ -1,0 +1,59 @@
+"""int8 convolution path for the VAE decoder's top spatial level.
+
+The v5e MXU runs int8 at 2x the bf16 rate, but measured end-to-end
+(scripts/probe_int8.py, chained-iteration timing incl. the requant
+epilogue) the win only materialises at the 384x512 level where the conv is
+partly IO-bound at bf16: 1.60x there, 1.12x at 192x256, 1.00x at 96x128.
+The dispatch therefore quantises only convs with H >= ``MIN_H`` (the top
+level — ~half the decoder's FLOPs).
+
+Scheme: symmetric int8 — per-output-channel weight scales (computed once
+per call from |w|max; with frozen inference weights XLA constant-folds
+them), dynamic per-tensor activation scale from |x|max, int32 accumulation,
+f32 dequant epilogue. This is a QUALITY-GATED fast path (``VAEConfig.
+conv_impl="int8"``): outputs deviate from bf16 by quantisation noise
+(~1% relative, tests/test_conv_int8.py); the default path stays exact.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+MIN_H = 256   # quantise only at spatial levels where int8 measured faster
+
+
+def supports_int8(weight_shape: Tuple[int, ...], stride: Tuple[int, int, int],
+                  h: int) -> bool:
+    return (tuple(weight_shape[2:]) == (3, 3, 3)
+            and tuple(stride) == (1, 1, 1)
+            and h >= MIN_H)
+
+
+def conv3d_int8(x: jnp.ndarray, params: dict, *,
+                padding=((2, 0), (1, 1), (1, 1))) -> jnp.ndarray:
+    """Quantised 3x3x3 conv. x: [b, ci, t, h, w]; weight torch-layout
+    [co, ci, 3, 3, 3]. Returns x.dtype."""
+    w = params["weight"]
+    co = w.shape[0]
+
+    wf = w.astype(jnp.float32)
+    sw = jnp.max(jnp.abs(wf), axis=(1, 2, 3, 4)) / 127.0          # [co]
+    sw = jnp.maximum(sw, 1e-12)
+    w8 = jnp.round(wf / sw[:, None, None, None, None]).astype(jnp.int8)
+
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)         # scalar
+    x8 = jnp.round(xf / sx).astype(jnp.int8)
+
+    y = lax.conv_general_dilated(
+        x8, w8, window_strides=(1, 1, 1), padding=padding,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.int32)
+    out = y.astype(jnp.float32) * (sx * sw).reshape(1, co, 1, 1, 1)
+    if "bias" in params and params["bias"] is not None:
+        out = out + params["bias"].astype(jnp.float32).reshape(1, co, 1, 1, 1)
+    return out.astype(x.dtype)
