@@ -123,6 +123,13 @@ class VAEConfig:
     #: hyperparameter; static under jit so flipping it recompiles correctly.
     conv_impl: str = "xla"
 
+    def __post_init__(self):
+        # same fail-loudly rule as MMDiTConfig: a misspelled impl must not
+        # silently run the default path
+        if self.conv_impl not in ("xla", "igemm", "int8"):
+            raise ValueError(
+                f"conv_impl={self.conv_impl!r}: expected 'xla', 'igemm' or 'int8'")
+
     @classmethod
     def from_json(cls, path: str) -> "VAEConfig":
         with open(path) as f:

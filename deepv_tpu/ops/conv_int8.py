@@ -7,12 +7,15 @@ partly IO-bound at bf16: 1.60x there, 1.12x at 192x256, 1.00x at 96x128.
 The dispatch therefore quantises only convs with H >= ``MIN_H`` (the top
 level — ~half the decoder's FLOPs).
 
-Scheme: symmetric int8 — per-output-channel weight scales (computed once
-per call from |w|max; with frozen inference weights XLA constant-folds
-them), dynamic per-tensor activation scale from |x|max, int32 accumulation,
-f32 dequant epilogue. This is a QUALITY-GATED fast path (``VAEConfig.
-conv_impl="int8"``): outputs deviate from bf16 by quantisation noise
-(~1% relative, tests/test_conv_int8.py); the default path stays exact.
+Scheme: symmetric int8 — per-output-channel weight scales from |w|max,
+dynamic per-tensor activation scale from |x|max, int32 accumulation, f32
+dequant epilogue. Weight quantisation recomputes per call when params are
+traced jit arguments (the measured 1.16x decode win is NET of that cost);
+``quantize_conv_weights`` precomputes ``weight_int8``/``weight_scale``
+entries once at load time for layers that should skip it. This is a
+QUALITY-GATED fast path (``VAEConfig.conv_impl="int8"``): outputs deviate
+from bf16 by quantisation noise (~1% relative, tests/test_conv_int8.py);
+the default path stays exact.
 """
 
 from __future__ import annotations
@@ -33,6 +36,15 @@ def supports_int8(weight_shape: Tuple[int, ...], stride: Tuple[int, int, int],
             and h >= MIN_H)
 
 
+def quantize_conv_weights(params: dict) -> dict:
+    """Precompute int8 weights + per-channel scales into the param dict
+    (done once at load; ``conv3d_int8`` consumes them if present)."""
+    wf = params["weight"].astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(1, 2, 3, 4)) / 127.0, 1e-12)
+    w8 = jnp.round(wf / sw[:, None, None, None, None]).astype(jnp.int8)
+    return {**params, "weight_int8": w8, "weight_scale": sw}
+
+
 def conv3d_int8(x: jnp.ndarray, params: dict, *,
                 padding=((2, 0), (1, 1), (1, 1))) -> jnp.ndarray:
     """Quantised 3x3x3 conv. x: [b, ci, t, h, w]; weight torch-layout
@@ -40,10 +52,12 @@ def conv3d_int8(x: jnp.ndarray, params: dict, *,
     w = params["weight"]
     co = w.shape[0]
 
-    wf = w.astype(jnp.float32)
-    sw = jnp.max(jnp.abs(wf), axis=(1, 2, 3, 4)) / 127.0          # [co]
-    sw = jnp.maximum(sw, 1e-12)
-    w8 = jnp.round(wf / sw[:, None, None, None, None]).astype(jnp.int8)
+    if "weight_int8" in params:
+        w8, sw = params["weight_int8"], params["weight_scale"]
+    else:
+        wf = w.astype(jnp.float32)
+        sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(1, 2, 3, 4)) / 127.0, 1e-12)
+        w8 = jnp.round(wf / sw[:, None, None, None, None]).astype(jnp.int8)
 
     xf = x.astype(jnp.float32)
     sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)         # scalar

@@ -55,13 +55,25 @@ def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
                 latents, text_embeds, text_mask, pooled, timesteps, dsigmas,
                 guidance, history_scale, history, history_mask,
                 num_rows: int, history_downsample_ratio: int, zero_depth: bool,
-                attn_impl: str):
+                attn_impl: str, recompute: Tuple[int, ...] = ()):
     """All Euler steps of one pyramid stage as a lax.scan
-    (ref pipeline.py:467-520, one reference step == one scan iteration)."""
-    conds = tuple(_zero_depth_channels(c) for c in conditions) if zero_depth else conditions
+    (ref pipeline.py:467-520, one reference step == one scan iteration).
 
-    def body(lat, inp):
-        t, dsig = inp
+    ``recompute``: optional static 0/1 mask over the steps (flow caching,
+    per PAPERS.md "Flow caching for autoregressive video generation"):
+    steps marked 0 SKIP the MMDiT forward and reuse the previous step's
+    guided velocity — the Euler integrator keeps stepping with a cached
+    flow. Empty/all-ones = the exact reference path.
+    """
+    conds = tuple(_zero_depth_channels(c) for c in conditions) if zero_depth else conditions
+    n_steps = int(timesteps.shape[0])
+    if not recompute:
+        recompute = (1,) * n_steps
+    assert len(recompute) == n_steps and recompute[0] == 1, \
+        "flow-cache mask must cover all steps and recompute the first"
+    caching = any(r == 0 for r in recompute)
+
+    def forward(lat, t):
         model_in = jnp.concatenate([lat] * num_rows, axis=0)
         if zero_depth:
             model_in = _zero_depth_channels(model_in)
@@ -78,27 +90,41 @@ def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
         else:
             vu, vt, vh = v[0:1], v[1:2], v[2:3]
             v = vu + guidance * (vt - vu) + history_scale * (vh - vt)
-        # guidance scalars are f32; keep the scan carry in the model dtype
-        return euler_step(lat, v.astype(lat.dtype), dsig), None
+        return v.astype(lat.dtype)
 
-    out, _ = jax.lax.scan(body, latents, (timesteps, dsigmas))
+    def body(carry, inp):
+        lat, v_prev = carry
+        t, dsig, recomp = inp
+        if caching:
+            v = jax.lax.cond(recomp > 0, lambda: forward(lat, t), lambda: v_prev)
+        else:
+            v = forward(lat, t)
+        # guidance scalars are f32; keep the scan carry in the model dtype
+        return (euler_step(lat, v, dsig), v), None
+
+    v0 = jnp.zeros_like(latents)
+    rec = jnp.asarray(recompute, jnp.int32)
+    (out, _), _ = jax.lax.scan(body, (latents, v0), (timesteps, dsigmas, rec))
     return out
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mcfg", "num_rows", "history_downsample_ratio", "zero_depth", "attn_impl"))
+    "mcfg", "num_rows", "history_downsample_ratio", "zero_depth", "attn_impl",
+    "recompute"))
 def _denoise_stage(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
                    latents, text_embeds, text_mask, pooled, timesteps, dsigmas,
                    guidance, history_scale, history, history_mask,
                    num_rows: int, history_downsample_ratio: int,
-                   zero_depth: bool, attn_impl: str):
+                   zero_depth: bool, attn_impl: str,
+                   recompute: Tuple[int, ...] = ()):
     """One pyramid stage as its own program. A whole-unit fused variant was
     measured and reverted: identical steady-state throughput (compute-bound)
     but ~3x the compile time, hurting time-to-first-frame."""
     return _stage_scan(mcfg, params, conditions, frame_times, frame_valid, latents,
                        text_embeds, text_mask, pooled, timesteps, dsigmas,
                        guidance, history_scale, history, history_mask,
-                       num_rows, history_downsample_ratio, zero_depth, attn_impl)
+                       num_rows, history_downsample_ratio, zero_depth, attn_impl,
+                       recompute)
 
 
 @functools.partial(jax.jit, static_argnames=("gamma",))
@@ -206,7 +232,8 @@ class InferencePipeline:
                  vae_cfg: VAEConfig, params: Dict, text_embeds: Dict,
                  dtype=jnp.bfloat16, use_tiling: bool = False,
                  decode_window: int = 2, decode_batched: bool = False,
-                 stream_decode: bool = True, text_encoder=None):
+                 stream_decode: bool = True, text_encoder=None,
+                 flow_cache: str = "none"):
         self.cfg = cfg
         self.mcfg = mmdit_cfg
         self.vcfg = vae_cfg
@@ -224,6 +251,13 @@ class InferencePipeline:
         #: causal VAE's chunked decode equals the full decode bit-for-bit);
         #: first pixels appear after unit 1 instead of after the whole chunk
         self.stream_decode = stream_decode
+        #: flow caching (quality-gated fast mode, default off): "none" runs
+        #: every Euler step's MMDiT forward (exact); "skip_odd" reuses the
+        #: cached guided velocity on odd step indices of every stage —
+        #: 2 of 5 forwards skipped (~40% denoise FLOPs) at the cost of a
+        #: first-order flow approximation on those steps
+        assert flow_cache in ("none", "skip_odd"), flow_cache
+        self.flow_cache = flow_cache
         #: optional callback(rgb_window, disp_window) fired as each decoded
         #: pixel window becomes available (requires stream_decode) — the
         #: interactive-serving hook; windows include chunk-overlap re-decodes
@@ -358,13 +392,18 @@ class InferencePipeline:
                 latents = _renoise(latents, key_, alpha, beta, gamma=cfg.scheduler.gamma)
             conditions, times, valid = past_conditions[i_s]
             timesteps, dsigmas = scheds[i_s]
+            if self.flow_cache == "skip_odd":
+                recompute = tuple(1 - (i % 2) for i in range(int(timesteps.shape[0])))
+            else:
+                recompute = ()
             latents = _denoise_stage(
                 self.mcfg, self.params["mmdit"], conditions, times, valid, latents,
                 text_embeds, text_mask, pooled, timesteps, dsigmas,
                 jnp.float32(guidance), jnp.float32(history_scale), hist, hist_mask,
                 num_rows=num_rows,
                 history_downsample_ratio=cfg.history_downsample_ratio,
-                zero_depth=cfg.no_need_depth, attn_impl=self.attn_impl)
+                zero_depth=cfg.no_need_depth, attn_impl=self.attn_impl,
+                recompute=recompute)
             intermed.append(latents)
         return intermed
 

@@ -51,10 +51,19 @@ class InteractiveSession:
 
     def __init__(self, pipe: InferencePipeline, guidance_scale: float = 4.0,
                  video_guidance_scale: float = 3.5,
-                 reuse_decoder_cache: bool = False):
+                 reuse_decoder_cache: bool = False,
+                 history_limit_chunks: Optional[int] = None):
         self.pipe = pipe
         self.guidance_scale = guidance_scale
         self.video_guidance_scale = video_guidance_scale
+        #: keep only the last N completed chunks of rollout state. The
+        #: reference retains the whole rollout for camera-pose history
+        #: retrieval (ref pipeline.py:370-411) — fine for a batch render,
+        #: unbounded for a long-lived session (~tens of MB of frames per
+        #: chunk). With a limit, retrieval searches the last N chunks and
+        #: ``result()`` returns only that window; per-step outputs are
+        #: unaffected. None (default) = reference semantics.
+        self.history_limit_chunks = history_limit_chunks
         #: carry the streaming VAE-decoder caches across chunk boundaries
         #: instead of re-decoding the 25 overlap frames to warm fresh caches
         #: (what generate()/the reference do, ref pipeline.py:316-317).
@@ -219,13 +228,14 @@ class InteractiveSession:
         yi, yd = self._stream_push(intermed[-1])
 
         # per-unit disparity post-map — scale_factor is constant within a
-        # chunk, so this equals the end-of-chunk map (ref pipeline.py:311-313)
-        if cfg.no_need_depth:
-            disp = jnp.zeros_like(yd)
-        else:
-            disp = jnp.clip(jnp.mean(yd, axis=1, keepdims=True) * 0.5 + 0.5, 0, 1)
-            disp = jnp.repeat(disp, 3, axis=1) ** 2
-            disp = disp / self.scale_factor / 0.95
+        # chunk, so this equals the end-of-chunk map (ref pipeline.py:311-313).
+        # no_need_depth zeroes the RAW frames first, exactly like the rollout
+        # (zeros post-map to the 0.25/0.95 constant), keeping step-stream ==
+        # result() parity for the disparity channel
+        raw = jnp.zeros_like(yd) if cfg.no_need_depth else yd
+        disp = jnp.clip(jnp.mean(raw, axis=1, keepdims=True) * 0.5 + 0.5, 0, 1)
+        disp = jnp.repeat(disp, 3, axis=1) ** 2
+        disp = disp / self.scale_factor / 0.95
 
         self.unit_index += 1
         self.steps_done += 1
@@ -285,6 +295,14 @@ class InteractiveSession:
             self.trans3d_list, self.trans2d_list)
         self.key, _ = jax.random.split(self.key)
         self.now_iter += 1
+        if self.history_limit_chunks is not None:
+            # pose chaining and the overlap carry only read the LAST chunk's
+            # entries; truncation just narrows the retrieval window
+            keep = self.history_limit_chunks
+            for lst in (self.images_list, self.disparity_list,
+                        self.motion_prompt_list, self.trans3d_list,
+                        self.trans2d_list):
+                del lst[:-keep]
         self._begin_chunk()
 
     # -- whole-rollout views --------------------------------------------------
@@ -321,21 +339,28 @@ class SessionServer:
 
     Endpoints:
       POST /session {"image": npb64, "seed": int, "prompt_type": str}
-                      -> {"session_id": ...}
+                      -> {"session_id": ...} (409 when max_sessions held)
       POST /step    {"session_id": ..., "action": str}
                       -> {"rgb": npb64, "disparity": npb64,
                           "chunk_complete": bool, "frames_total": int}
+      POST /close   {"session_id": ...} -> {"closed": true}
       GET  /metrics -> {"sessions": n, "frames_out": n, "steps": n}
 
     One device-owning worker thread serializes all session compute (the chip
     runs one program at a time anyway); HTTP threads only queue requests.
+    Served sessions keep a bounded rollout history (``history_limit_chunks``,
+    default 4) so long-lived sessions cannot exhaust device memory; clients
+    consume frames from /step responses.
     """
 
     def __init__(self, pipe: InferencePipeline, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, max_sessions: int = 4,
+                 history_limit_chunks: int = 4):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self.pipe = pipe
+        self.max_sessions = max_sessions
+        self.history_limit_chunks = history_limit_chunks
         self.sessions: Dict[str, InteractiveSession] = {}
         self._lock = threading.Lock()   # serializes device work
         outer = self
@@ -369,13 +394,26 @@ class SessionServer:
                     req = json.loads(self.rfile.read(n) or b"{}")
                     if self.path == "/session":
                         sid = uuid.uuid4().hex[:12]
-                        sess = InteractiveSession(outer.pipe)
+                        sess = InteractiveSession(
+                            outer.pipe,
+                            history_limit_chunks=outer.history_limit_chunks)
                         with outer._lock:
+                            if len(outer.sessions) >= outer.max_sessions:
+                                self._json(409, {
+                                    "error": f"max_sessions={outer.max_sessions} "
+                                             "held; POST /close one first"})
+                                return
                             sess.start(_b64_np(req["image"]),
                                        seed=int(req.get("seed", 666)),
                                        prompt_type=req.get("prompt_type", "action"))
                             outer.sessions[sid] = sess
                         self._json(200, {"session_id": sid})
+                    elif self.path == "/close":
+                        with outer._lock:
+                            closed = outer.sessions.pop(
+                                req.get("session_id", ""), None) is not None
+                        self._json(200 if closed else 404,
+                                   {"closed": closed})
                     elif self.path == "/step":
                         sess = outer.sessions.get(req.get("session_id", ""))
                         if sess is None:

@@ -32,6 +32,23 @@ def test_int8_matches_f32_within_quant_noise():
     assert err.mean() / scale < 0.005
 
 
+def test_quantize_conv_weights_precompute():
+    """Precomputed int8 weights give bit-identical output to the on-the-fly
+    quantisation path."""
+    from deepv_tpu.ops.conv_int8 import quantize_conv_weights
+    p = _params(jax.random.PRNGKey(9), 8, 8)
+    x = jax.random.normal(jax.random.PRNGKey(10), (1, 8, 2, 256, 16))
+    a = conv3d_int8(x, p)
+    b = conv3d_int8(x, quantize_conv_weights(p))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vae_config_rejects_bad_conv_impl():
+    import pytest
+    with pytest.raises(ValueError):
+        VAEConfig(conv_impl="IGEMM")
+
+
 def test_int8_dispatch_gating():
     # below MIN_H the int8 impl must fall back to the exact xla path
     p = _params(jax.random.PRNGKey(2), 8, 8)

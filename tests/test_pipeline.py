@@ -157,6 +157,71 @@ def test_stream_decode_matches_batch_decode():
                                    np.asarray(b["pred_disparity"]), atol=1e-6)
 
 
+def test_flow_cache_skip_odd(pipe):
+    """Flow caching: the skip_odd pattern must equal a hand-stepped Euler
+    chain that reuses the guided velocity on odd steps, and the all-ones
+    mask must equal the default exact path bit-for-bit."""
+    import jax.numpy as jnp
+    from deepv_tpu.models.mmdit import mmdit_forward
+    from deepv_tpu.models.scheduler import euler_step
+    from deepv_tpu.pipeline import _denoise_stage
+
+    cfg, mcfg = pipe.cfg, pipe.mcfg
+    ds = cfg.vae_downsample
+    lh, lw = H // ds, W // ds
+    key = jax.random.PRNGKey(0)
+    clean = _pyramid_list(
+        jax.random.normal(key, (1, mcfg.in_channels, 3, lh, lw), jnp.float32), 2)
+    conds = pipe._padded_conditions(clean, 3, True, 2)
+    conditions, times, valid = conds[1]
+    pe, pm, pp = pipe._embeds_for("empty")
+    text = jnp.concatenate([pe, pe], 0)
+    mask = jnp.concatenate([pm, pm], 0)
+    pooled = jnp.concatenate([pp, pp], 0)
+    ss = pipe.schedule.stage_schedule(cfg.num_inference_steps, 1)
+    ts = jnp.asarray(ss.timesteps)
+    dsig = jnp.asarray(ss.sigmas[1:] - ss.sigmas[:-1])
+    lat = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, mcfg.in_channels, 1, lh // 2, lw // 2), jnp.float32)
+
+    def run(recompute):
+        return _denoise_stage(
+            mcfg, pipe.params["mmdit"], conditions, times, valid, lat,
+            text, mask, pooled, ts, dsig, jnp.float32(3.5), jnp.float32(6.0),
+            None, None, num_rows=2, history_downsample_ratio=2,
+            zero_depth=False, attn_impl="ref", recompute=recompute)
+
+    exact = run(())
+    np.testing.assert_array_equal(np.asarray(run((1,) * 5)), np.asarray(exact))
+
+    # hand-stepped reference for the skip_odd pattern
+    g = jnp.float32(3.5)
+    x = lat
+    v = None
+    for i in range(5):
+        if i % 2 == 0:
+            vr = mmdit_forward(mcfg, pipe.params["mmdit"],
+                               list(conditions) + [jnp.concatenate([x, x], 0)],
+                               text, mask, pooled,
+                               jnp.full((2,), float(ts[i]), jnp.float32),
+                               frame_times=list(times), frame_valid=list(valid),
+                               attn_impl="ref")
+            v = (vr[0:1] + g * (vr[1:2] - vr[0:1])).astype(x.dtype)
+        x = euler_step(x, v, dsig[i])
+    got = run((1, 0, 1, 0, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=1e-5)
+    assert np.abs(np.asarray(got) - np.asarray(exact)).max() > 0   # differs
+
+
+def test_flow_cache_pipeline_runs(pipe):
+    fast = InferencePipeline(pipe.cfg, pipe.mcfg, pipe.vcfg, pipe.params,
+                             pipe.text_embeds, dtype=jnp.float32,
+                             flow_cache="skip_odd")
+    out = fast.generate(make_batch("(FN)(FN)"), seed=7)
+    assert out["pred_img"].shape == (1, 3, 57, H, W)
+    assert np.isfinite(np.asarray(out["pred_img"], np.float32)).all()
+
+
 def test_on_frames_streaming_callback(pipe):
     """The serving hook fires once per decoded window with pixel tensors."""
     windows = []

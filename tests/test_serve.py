@@ -119,11 +119,51 @@ def test_session_reuse_decoder_cache(pipe):
     assert np.isfinite(np.asarray(got["pred_img"], np.float32)).all()
 
 
+def test_session_no_need_depth_step_parity():
+    """With no_need_depth, each step's disparity equals the rollout's
+    post-mapped constant (0.25/0.95), keeping step-stream == result()."""
+    p = tiny_pipeline(no_need_depth=True)
+    sess = InteractiveSession(p)
+    sess.start(make_batch()["img"], seed=41)
+    steps = [sess.step("Move forward. The perspective hasn't changed.")
+             for _ in range(8)]
+    for out in steps:
+        np.testing.assert_allclose(np.asarray(out["disparity"]),
+                                   0.25 / 0.95, atol=1e-6)
+    got = sess.result()
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([o["disparity"] for o in steps], axis=2)),
+        np.asarray(got["pred_disparity"]))
+
+
+def test_session_history_limit(pipe):
+    """history_limit_chunks bounds rollout state; with 2 chunks and limit 1
+    the outputs are unchanged (retrieval only ever looked one chunk back)."""
+    prompt = "(FN)(FN)(FN)(FN)(FN)(FN)(FN)(fRL)(SR)(BL)(FN)"
+    batch = make_batch(prompt)
+    actions = InteractiveSession.actions_from_prompt_list(
+        pipe.cfg, list(batch["prompt"]))
+
+    full = InteractiveSession(pipe)
+    full.start(batch["img"], seed=51)
+    lim = InteractiveSession(pipe, history_limit_chunks=1)
+    lim.start(batch["img"], seed=51)
+    f_rgb, l_rgb = [], []
+    for a in actions:
+        f_rgb.append(full.step(a)["rgb"])
+        l_rgb.append(lim.step(a)["rgb"])
+    assert len(full.images_list) == 2
+    assert len(lim.images_list) == 1          # bounded
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate(l_rgb, axis=2)),
+        np.asarray(jnp.concatenate(f_rgb, axis=2)))
+
+
 def test_http_server_roundtrip(pipe):
-    server = SessionServer(pipe, port=0)
+    server = SessionServer(pipe, port=0, max_sessions=1)
     port = server.start()
     try:
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
         img = np.asarray(make_batch()["img"])
         body = json.dumps({"image": _np_b64(img), "seed": 23})
         conn.request("POST", "/session", body,
@@ -149,5 +189,18 @@ def test_http_server_roundtrip(pipe):
         r = conn.getresponse()
         assert r.status == 404
         r.read()
+
+        # capacity held -> 409 until the session is closed
+        body = json.dumps({"image": _np_b64(img), "seed": 24})
+        conn.request("POST", "/session", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 409
+        r.read()
+        conn.request("POST", "/close", json.dumps({"session_id": sid}),
+                     {"Content-Type": "application/json"})
+        assert json.loads(conn.getresponse().read())["closed"] is True
+        conn.request("GET", "/metrics")
+        assert json.loads(conn.getresponse().read())["sessions"] == 0
     finally:
         server.stop()
