@@ -314,10 +314,20 @@ class InferencePipeline:
     def _encode_pixels(self, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         # temporal chunking bounds encoder activations for the 25-frame
         # carry-over encodes (the reference bounds memory with spatial tiling
-        # instead, ref pipeline.py:215; chunked == full exactly)
-        moments = vae_encode(self.vcfg, self.params["vae"], x.astype(self.dtype),
-                             temporal_chunk=x.shape[2] > 17, window_size=16,
-                             use_tiling=self.use_tiling)
+        # instead, ref pipeline.py:215; chunked == full exactly). Batch rows
+        # (rgb / disparity streams) encode SERIALLY with 8-frame windows:
+        # a batch-2 17-frame window peaks ~3.4 GB of encoder activations,
+        # which on top of the 4.9 GB params + rollout state exhausted HBM at
+        # the chunk-2 boundary of a full-size multi-chunk rollout. Moments
+        # are re-concatenated before the single gaussian_sample call, so the
+        # PRNG pairing (and hence every output) is unchanged.
+        chunked = x.shape[2] > 17
+        parts = [vae_encode(self.vcfg, self.params["vae"],
+                            x[i:i + 1].astype(self.dtype),
+                            temporal_chunk=chunked, window_size=8,
+                            use_tiling=self.use_tiling)
+                 for i in range(x.shape[0])]
+        moments = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return gaussian_sample(moments, key)
 
     def _stream_push(self, z: jnp.ndarray, cache, first: bool):
@@ -479,7 +489,14 @@ class InferencePipeline:
                 self.on_frames(yi, yd)
 
         if stream and not firstframe_mask:
-            stream_push(input_image_latent)   # the carried-over 4 latent frames
+            # warm the decoder caches on the carried-over latent frames ONE
+            # frame at a time: a single t=4 window peaks ~4x the steady
+            # window's activations (25 output frames of f32 group-norm
+            # intermediates at 384x512) and OOMs HBM on top of params +
+            # rollout state; per-frame windows are bit-identical (chunked ==
+            # full) and reuse the compiled steady-state programs
+            for fi in range(input_image_latent.shape[2]):
+                stream_push(input_image_latent[:, :, fi:fi + 1])
 
         if use_linear_guidance:
             # per-unit decayed guidance (ref pipeline.py:544-546, 592-594)

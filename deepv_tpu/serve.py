@@ -180,7 +180,10 @@ class InteractiveSession:
             self._rgb_cache = self._disp_cache = None
             self._stream_first = True
             if not fm:
-                self._stream_push(self.generated[0])   # warm caches on the overlap
+                # per-frame windows: one t=4 window peaks ~4x the steady
+                # activations and can OOM HBM (see pipeline.generate_i2v)
+                for fi in range(self.generated[0].shape[2]):
+                    self._stream_push(self.generated[0][:, :, fi:fi + 1])
 
     def _stream_push(self, lat38):
         p, cfg = self.pipe, self.pipe.cfg
