@@ -28,6 +28,7 @@ Env knobs:
   BENCH_CHUNKS=N        rollout chunks to time after warmup (default 1)
 """
 
+import functools
 import json
 import os
 import sys
@@ -87,13 +88,21 @@ def attention_parity_on_chip(mcfg, H, W, ctx_len=77) -> float:
     reps = [ctx_len] + [tok(lh // 4, lw // 4)] * 6 + [tok(lh // 2, lw // 2)] + [tok(lh, lw)] * 2
     times = jnp.repeat(jnp.arange(len(reps), dtype=jnp.float32) - 1.0,
                        jnp.asarray(reps), total_repeat_length=s).at[:ctx_len].set(0.0)
-    out_p = jax.jit(attention_pallas)(q, k, v, valid, times)
+    # make the last clip's times strictly largest (the denoise invariant)
+    # so the split path is exercised exactly as in production
+    n_last = tok(lh, lw)
     out_r = jax.jit(attention_reference)(q, k, v, valid, times)
-    err = float(jnp.max(jnp.abs(out_p.astype(jnp.float32) - out_r.astype(jnp.float32))))
-    assert err < 2e-3, f"pallas attention diverges from reference on chip: {err}"
-    print(f"[bench] pallas-vs-ref attention parity @ S={s}: max err {err:.2e}",
-          file=sys.stderr)
-    return err
+    errs = []
+    for nl in (0, n_last):
+        out_p = jax.jit(functools.partial(attention_pallas, n_last=nl))(
+            q, k, v, valid, times)
+        err = float(jnp.max(jnp.abs(out_p.astype(jnp.float32)
+                                    - out_r.astype(jnp.float32))))
+        assert err < 2e-3, f"pallas attention (n_last={nl}) diverges: {err}"
+        errs.append(err)
+    print(f"[bench] pallas-vs-ref attention parity @ S={s}: fused {errs[0]:.2e}, "
+          f"split {errs[1]:.2e}", file=sys.stderr)
+    return max(errs)
 
 
 def main():

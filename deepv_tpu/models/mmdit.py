@@ -244,8 +244,10 @@ def joint_attention(cfg: MMDiTConfig, p: dict, hidden: jnp.ndarray,
     (ref mmdit.py:259-324 + 122-180). ctx tokens lead the sequence.
 
     ``mask_ctx`` is either ("bias", [b,1,S,S] additive bias) — the jnp path —
-    or ("pallas", valid [b,S] i32, times [S] f32) for the fused TPU kernel
-    that rebuilds the mask on the fly (ops/attention.py).
+    or ("pallas", valid [b,S] i32, times [S] f32, n_last) for the fused TPU
+    kernel that rebuilds the mask on the fly (ops/attention.py); n_last > 0
+    splits off the current-unit rows (strictly-largest time) so the
+    prefix x current logits block is never computed.
     """
     b, lv, d = hidden.shape
     lc = ctx.shape[1]
@@ -272,8 +274,8 @@ def joint_attention(cfg: MMDiTConfig, p: dict, hidden: jnp.ndarray,
     k = apply_rope(k, rope_cos, rope_sin)
 
     if mask_ctx[0] == "pallas":
-        _, valid, times = mask_ctx
-        out = attention_pallas(q, k, v, valid, times)
+        _, valid, times, n_last = mask_ctx
+        out = attention_pallas(q, k, v, valid, times, n_last=n_last)
         out = out.reshape(b, lc + lv, nh * hd)
     else:
         bias = mask_ctx[1]
@@ -333,7 +335,8 @@ def mmdit_forward(cfg: MMDiTConfig, params: dict,
                   history_downsample_ratio: int = 2,
                   frame_times: Optional[List[jnp.ndarray]] = None,
                   frame_valid: Optional[List[jnp.ndarray]] = None,
-                  attn_impl: str = "ref") -> jnp.ndarray:
+                  attn_impl: str = "ref",
+                  split_last_attn: bool = False) -> jnp.ndarray:
     """One denoise forward over a packed clip list (ref mmdit.py:1467-1530).
 
     clips: oldest -> newest, each [b, c, t, h, w]; the velocity for the LAST
@@ -388,7 +391,13 @@ def mmdit_forward(cfg: MMDiTConfig, params: dict,
         vvalid = jnp.ones((b_rows, layout.video_len), ctx_valid.dtype)
         valid = jnp.concatenate([ctx_valid, vvalid], axis=1)
     if attn_impl == "pallas":
-        mask_ctx = ("pallas", valid.astype(jnp.int32), times.astype(jnp.float32))
+        # split_last_attn: ONLY valid when the caller guarantees the last
+        # clip's time ids are STRICTLY greater than every other token's
+        # (true for the denoise loop's current unit; false e.g. for a lone
+        # clip whose first frame shares time 0 with the text tokens)
+        n_last_attn = layout.clip_tokens[-1] if split_last_attn else 0
+        mask_ctx = ("pallas", valid.astype(jnp.int32),
+                    times.astype(jnp.float32), n_last_attn)
     else:
         mask_ctx = ("ref", build_attention_bias(valid, causal))
 

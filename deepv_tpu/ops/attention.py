@@ -45,21 +45,22 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, valid_ref, times_ref, out_ref,
+def _attn_kernel(q_ref, k_ref, v_ref, validq_ref, timesq_ref,
+                 validk_ref, timesk_ref, out_ref,
                  *, scale: float, block_q: int):
     q = q_ref[0]                      # [BQ, d]
-    k = k_ref[0]                      # [S, d]
-    v = v_ref[0]                      # [S, d]
+    k = k_ref[0]                      # [Sk, d]
+    v = v_ref[0]                      # [Sk, d]
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale        # [BQ, S]
+        preferred_element_type=jnp.float32) * scale        # [BQ, Sk]
 
     j = pl.program_id(1)
-    vk = valid_ref[0, 0]              # [S] int32 (full row in VMEM)
-    tk = times_ref[0, 0]              # [S] f32
+    vk = validk_ref[0, 0]             # [Sk] int32 (full row in VMEM)
+    tk = timesk_ref[0, 0]             # [Sk] f32
     start = pl.multiple_of(j * block_q, block_q)
-    vq = valid_ref[0, 0, pl.ds(start, block_q)]
-    tq = times_ref[0, 0, pl.ds(start, block_q)]
+    vq = validq_ref[0, 0, pl.ds(start, block_q)]
+    tq = timesq_ref[0, 0, pl.ds(start, block_q)]
     allowed = jnp.logical_and(vq[:, None] == vk[None, :],
                               tq[:, None] >= tk[None, :])
     logits = jnp.where(allowed, logits, -1e30)
@@ -73,45 +74,86 @@ def _attn_kernel(q_ref, k_ref, v_ref, valid_ref, times_ref, out_ref,
         preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     valid: jnp.ndarray, times: jnp.ndarray,
-                     block_q: int = 256, interpret: bool = False) -> jnp.ndarray:
-    """Fused masked attention. q/k/v: [b, s, h, d]; valid [b, s] i32;
-    times [s] f32. Returns [b, s, h, d]."""
-    b, s, h, d = q.shape
+def _attention_pallas_qk(q, k, v, valid_q, times_q, valid_k, times_k,
+                         block_q: int, interpret: bool) -> jnp.ndarray:
+    """Core call with independent query/key lengths. q: [b, sq, h, d];
+    k/v: [b, sk, h, d]; valid_*: [b, s*] i32; times_*: [s*] f32."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
 
-    sp = _round_up(s, block_q)
-    pad = sp - s
+    sqp = _round_up(sq, block_q)
+    skp = _round_up(sk, 128)
 
-    def to_bh(x):   # [b, s, h, d] -> [b*h, sp, d]
+    def to_bh(x, s, sp):   # [b, s, h, d] -> [b*h, sp, d]
         x = jnp.moveaxis(x, 2, 1).reshape(b * h, s, d)
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        if sp - s:
+            x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
         return x
 
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
-    # padded tokens get valid=-1: they interact only with each other.
-    # vectors are passed as [b, 1, sp] full-row blocks (TPU block-shape rule)
-    validp = jnp.pad(valid.astype(jnp.int32), ((0, 0), (0, pad)), constant_values=-1)
-    validb = validp[:, None]                                    # [b, 1, sp]
-    timesp = jnp.pad(times.astype(jnp.float32), (0, pad))
-    timesb = jnp.broadcast_to(timesp[None, None], (b, 1, sp))
+    qb = to_bh(q, sq, sqp)
+    kb = to_bh(k, sk, skp)
+    vb = to_bh(v, sk, skp)
+    # padded tokens get valid=-1 (queries) / -2 (keys): a padded query never
+    # matches any key group, a padded key never matches any query group.
+    # vectors are passed as [b, 1, s] full-row blocks (TPU block-shape rule)
+    vqp = jnp.pad(valid_q.astype(jnp.int32), ((0, 0), (0, sqp - sq)),
+                  constant_values=-1)[:, None]
+    vkp = jnp.pad(valid_k.astype(jnp.int32), ((0, 0), (0, skp - sk)),
+                  constant_values=-2)[:, None]
+    tqp = jnp.broadcast_to(
+        jnp.pad(times_q.astype(jnp.float32), (0, sqp - sq))[None, None],
+        (b, 1, sqp))
+    tkp = jnp.broadcast_to(
+        jnp.pad(times_k.astype(jnp.float32), (0, skp - sk))[None, None],
+        (b, 1, skp))
 
-    grid = (b * h, sp // block_q)
+    grid = (b * h, sqp // block_q)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, block_q=block_q),
-        out_shape=jax.ShapeDtypeStruct((b * h, sp, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, d), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, sp, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, sp, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 1, sp), lambda i, j: (i // h, 0, 0)),
-            pl.BlockSpec((1, 1, sp), lambda i, j: (i // h, 0, 0)),
+            pl.BlockSpec((1, skp, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, skp, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, sqp), lambda i, j: (i // h, 0, 0)),
+            pl.BlockSpec((1, 1, sqp), lambda i, j: (i // h, 0, 0)),
+            pl.BlockSpec((1, 1, skp), lambda i, j: (i // h, 0, 0)),
+            pl.BlockSpec((1, 1, skp), lambda i, j: (i // h, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
         interpret=interpret,
-    )(qb, kb, vb, validb, timesb)
-    out = out[:, :s].reshape(b, h, s, d)
+    )(qb, kb, vb, vqp, tqp, vkp, tkp)
+    out = out[:, :sq].reshape(b, h, sq, d)
     return jnp.moveaxis(out, 1, 2)
+
+
+def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     valid: jnp.ndarray, times: jnp.ndarray,
+                     block_q: int = 256, interpret: bool = False,
+                     n_last: int = 0) -> jnp.ndarray:
+    """Fused masked attention. q/k/v: [b, s, h, d]; valid [b, s] i32;
+    times [s] f32. Returns [b, s, h, d].
+
+    ``n_last``: when > 0, the LAST n_last tokens are known to carry the
+    strictly largest time id (the current denoising unit) — temporal
+    causality then guarantees no earlier token attends them, so the
+    attention splits exactly into [prefix -> prefix] and [last -> all],
+    skipping the prefix x last logits block (~20-25% of the attention
+    FLOPs at the deployment layout). n_last=0 runs the single fused call.
+    """
+    b, s, h, d = q.shape
+    if 0 < n_last < s:
+        sp = s - n_last
+        out_p = _attention_pallas_qk(
+            q[:, :sp], k[:, :sp], v[:, :sp],
+            valid[:, :sp], times[:sp], valid[:, :sp], times[:sp],
+            block_q, interpret)
+        out_c = _attention_pallas_qk(
+            q[:, sp:], k, v,
+            valid[:, sp:], times[sp:], valid, times,
+            min(block_q, _round_up(n_last, 128)), interpret)
+        return jnp.concatenate([out_p, out_c], axis=1)
+    return _attention_pallas_qk(q, k, v, valid, times, valid, times,
+                                block_q, interpret)

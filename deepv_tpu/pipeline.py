@@ -83,7 +83,7 @@ def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
                           history=history, history_mask=history_mask,
                           history_downsample_ratio=history_downsample_ratio,
                           frame_times=list(frame_times), frame_valid=list(frame_valid),
-                          attn_impl=attn_impl)
+                          attn_impl=attn_impl, split_last_attn=True)
         if num_rows == 2:
             vu, vt = v[0:1], v[1:2]
             v = vu + guidance * (vt - vu)

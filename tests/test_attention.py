@@ -48,3 +48,41 @@ def test_pallas_bf16():
     out = attention_pallas(q, k, v, valid, times, block_q=32, interpret=True)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_pallas_split_last_matches_reference():
+    """n_last splits the attention into [prefix->prefix] + [last->all]
+    when the last tokens carry the strictly largest time (the denoise
+    loop's current unit); must equal both the jnp reference and the
+    unsplit kernel."""
+    q, k, v, valid, times = make()
+    t = np.asarray(times).copy()
+    n_last = 14
+    t[-n_last:] = 9.0                       # strictly above every prefix time
+    times = jnp.asarray(t)
+    ref = attention_reference(q, k, v, valid, times)
+    split = attention_pallas(q, k, v, valid, times, block_q=32,
+                             interpret=True, n_last=n_last)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    fused = attention_pallas(q, k, v, valid, times, block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(fused),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_split_with_padding_frames():
+    """Split with invalid (padding) prefix tokens and a masked ctx group:
+    the prefix block's own validity rules must survive the split."""
+    q, k, v, valid, times = make(s=96)
+    valid = np.asarray(valid).copy()
+    t = np.asarray(times).copy()
+    valid[:, 20:30] = 0                     # padding frames in the prefix
+    n_last = 32
+    t[-n_last:] = 7.0
+    valid[:, -n_last:] = 1
+    valid, times = jnp.asarray(valid), jnp.asarray(t)
+    ref = attention_reference(q, k, v, valid, times)
+    split = attention_pallas(q, k, v, valid, times, block_q=32,
+                             interpret=True, n_last=n_last)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
