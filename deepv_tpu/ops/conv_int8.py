@@ -45,6 +45,25 @@ def quantize_conv_weights(params: dict) -> dict:
     return {**params, "weight_int8": w8, "weight_scale": sw}
 
 
+def quantize_vae_decoder(decoder_params: dict) -> dict:
+    """Precompute int8 weights/scales for every 3x3x3 conv in a decoder
+    pytree (InferencePipeline does this once at construction when
+    ``conv_impl="int8"``; layers the H>=MIN_H dispatch never routes to int8
+    just carry unused extra entries)."""
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items()}
+            w = out.get("weight")
+            if (hasattr(w, "ndim") and w.ndim == 5
+                    and tuple(w.shape[2:]) == (3, 3, 3)):
+                out = quantize_conv_weights(out)
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+    return walk(decoder_params)
+
+
 def conv3d_int8(x: jnp.ndarray, params: dict, *,
                 padding=((2, 0), (1, 1), (1, 1))) -> jnp.ndarray:
     """Quantised 3x3x3 conv. x: [b, ci, t, h, w]; weight torch-layout

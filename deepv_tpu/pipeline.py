@@ -144,6 +144,15 @@ def _quantize_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
     return (q * 2.0 - 1.0).astype(x.dtype)
 
 
+def _disparity_postmap(raw: jnp.ndarray, scale_factor) -> jnp.ndarray:
+    """Decoded disparity -> displayable disparity (ref pipeline.py:311-313):
+    channel-mean to [0,1], squared, un-rescaled. Shared by the rollout's
+    chunk accumulation and the serving session's per-step outputs, whose
+    bit-parity depends on the formulas staying identical."""
+    d = jnp.clip(jnp.mean(raw, axis=1, keepdims=True) * 0.5 + 0.5, 0, 1)
+    return jnp.repeat(d, 3, axis=1) ** 2 / scale_factor / 0.95
+
+
 def _pyramid_list(x: jnp.ndarray, stage_num: int) -> List[jnp.ndarray]:
     """Clean-latent pyramid, low -> high resolution (ref pipeline.py:226-240)."""
     levels = [x]
@@ -237,6 +246,13 @@ class InferencePipeline:
         self.cfg = cfg
         self.mcfg = mmdit_cfg
         self.vcfg = vae_cfg
+        if vae_cfg.conv_impl == "int8":
+            # precompute int8 weights once instead of re-quantising traced
+            # weight arguments on every decode call (ops/conv_int8.py)
+            from .ops.conv_int8 import quantize_vae_decoder
+            params = {**params, "vae": {**params["vae"],
+                                        "decoder": quantize_vae_decoder(
+                                            params["vae"]["decoder"])}}
         self.params = params
         self.text_embeds = text_embeds
         self.dtype = dtype
@@ -645,11 +661,7 @@ class InferencePipeline:
         ``(images, mapped disparitys)`` used for the next-chunk carry."""
         cfg = self.cfg
         n_img, n_unit = cfg.num_input_image, cfg.num_input_unit
-        # disparity post-map (ref pipeline.py:311-313)
-        disparitys = jnp.clip(
-            jnp.mean(disparitys, axis=1, keepdims=True) * 0.5 + 0.5, 0, 1)
-        disparitys = jnp.repeat(disparitys, 3, axis=1) ** 2
-        disparitys = disparitys / scale_factor / 0.95
+        disparitys = _disparity_postmap(disparitys, scale_factor)
         trans3d = trans3d.at[:, :, :3, 3].multiply(scale_factor)
 
         if now_iter == 0:

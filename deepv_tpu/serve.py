@@ -10,7 +10,7 @@ the newly generated frames immediately. This module provides that surface:
     between latent units: ``start(image)`` then ``step(action) -> frames``.
     Each step denoises ONE unit and streams it through the carried causal
     VAE decoder caches, so the first pixels of a step arrive in
-    time-to-first-frame latency (~1.2 s on a v5e) rather than
+    time-to-first-frame latency (0.83 s measured on a v5e) rather than
     whole-chunk latency. Chunk boundaries (25-frame overlap carry,
     uint8 roundtrip, pose chaining, history retrieval — ref
     pipeline.py:337-411) are handled transparently inside ``step``.
@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pipeline import InferencePipeline, _pyramid_list, _quantize_roundtrip
+from .pipeline import (InferencePipeline, _disparity_postmap,
+                       _pyramid_list, _quantize_roundtrip)
 from .raymap import raymap_to_camera
 
 
@@ -63,6 +64,8 @@ class InteractiveSession:
         #: chunk). With a limit, retrieval searches the last N chunks and
         #: ``result()`` returns only that window; per-step outputs are
         #: unaffected. None (default) = reference semantics.
+        assert history_limit_chunks is None or history_limit_chunks >= 1, \
+            "history_limit_chunks must be None or >= 1"
         self.history_limit_chunks = history_limit_chunks
         #: carry the streaming VAE-decoder caches across chunk boundaries
         #: instead of re-decoding the 25 overlap frames to warm fresh caches
@@ -236,9 +239,7 @@ class InteractiveSession:
         # (zeros post-map to the 0.25/0.95 constant), keeping step-stream ==
         # result() parity for the disparity channel
         raw = jnp.zeros_like(yd) if cfg.no_need_depth else yd
-        disp = jnp.clip(jnp.mean(raw, axis=1, keepdims=True) * 0.5 + 0.5, 0, 1)
-        disp = jnp.repeat(disp, 3, axis=1) ** 2
-        disp = disp / self.scale_factor / 0.95
+        disp = _disparity_postmap(raw, self.scale_factor)
 
         self.unit_index += 1
         self.steps_done += 1
@@ -298,14 +299,24 @@ class InteractiveSession:
             self.trans3d_list, self.trans2d_list)
         self.key, _ = jax.random.split(self.key)
         self.now_iter += 1
-        if self.history_limit_chunks is not None:
+        if (self.history_limit_chunks is not None
+                and len(self.images_list) > self.history_limit_chunks):
             # pose chaining and the overlap carry only read the LAST chunk's
-            # entries; truncation just narrows the retrieval window
+            # entries; truncation narrows the retrieval window. It must also
+            # preserve _retrieve_history's ::ds frame<->pose pairing: the
+            # rollout's first chunk holds 57 = 1 (mod 8) frames so every
+            # stride-8 pick lands on a unit's FINAL frame; after dropping
+            # whole chunks (32 = 0 mod 8 each), trim the new head chunk's
+            # leading ds-1 frames to restore that phase.
             keep = self.history_limit_chunks
+            ds = self.pipe.cfg.vae_downsample
             for lst in (self.images_list, self.disparity_list,
                         self.motion_prompt_list, self.trans3d_list,
                         self.trans2d_list):
                 del lst[:-keep]
+            if self.images_list[0].shape[2] % ds != 1:
+                self.images_list[0] = self.images_list[0][:, :, ds - 1:]
+                self.disparity_list[0] = self.disparity_list[0][:, :, ds - 1:]
         self._begin_chunk()
 
     # -- whole-rollout views --------------------------------------------------
@@ -418,11 +429,13 @@ class SessionServer:
                         self._json(200 if closed else 404,
                                    {"closed": closed})
                     elif self.path == "/step":
-                        sess = outer.sessions.get(req.get("session_id", ""))
-                        if sess is None:
-                            self._json(404, {"error": "unknown session"})
-                            return
                         with outer._lock:
+                            # fetch under the lock: a concurrent /close must
+                            # not let a step run on an orphaned session
+                            sess = outer.sessions.get(req.get("session_id", ""))
+                            if sess is None:
+                                self._json(404, {"error": "unknown session"})
+                                return
                             out = sess.step(req["action"])
                             rgb = _np_b64(out["rgb"])
                             disp = _np_b64(out["disparity"])

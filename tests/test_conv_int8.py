@@ -93,3 +93,20 @@ def test_int8_decoder_runs():
     scale = float(np.abs(np.asarray(want)).max())
     assert np.abs(np.asarray(got) - np.asarray(want)).max() / scale < 0.2
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_pipeline_precomputes_int8_weights():
+    """conv_impl="int8" quantises the decoder tree once at construction."""
+    from deepv_tpu.ops.conv_int8 import quantize_vae_decoder
+    params = init_vae_params(jax.random.PRNGKey(11), VAEConfig.tiny())
+    qd = quantize_vae_decoder(params["decoder"])
+    assert "weight_int8" in qd["conv_in"]
+    assert qd["conv_in"]["weight_int8"].dtype == jnp.int8
+    assert "weight_int8" not in qd["post_quant_conv"]   # 1x1x1: not eligible
+    # outputs unchanged vs on-the-fly quantisation
+    cfg = dataclasses.replace(VAEConfig.tiny(), conv_impl="int8")
+    z = jax.random.normal(jax.random.PRNGKey(12),
+                          (1, cfg.encoder_out_channels, 2, 40, 4))
+    a, _ = decoder_apply(cfg, params["decoder"], z, mode="full")
+    b, _ = decoder_apply(cfg, qd, z, mode="full")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

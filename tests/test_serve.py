@@ -207,3 +207,25 @@ def test_http_server_roundtrip(pipe):
         assert json.loads(conn.getresponse().read())["sessions"] == 0
     finally:
         server.stop()
+
+
+def test_session_history_limit_preserves_retrieval_phase(pipe):
+    """When truncation actually drops chunks, the ::ds history subsample
+    must stay aligned to unit-final frames (head chunk trimmed to
+    1 mod ds frames) — the frame<->pose pairing of _retrieve_history."""
+    prompt = "(FN)" * 15                      # 16 padded units -> 3 chunks
+    batch = make_batch(prompt)
+    actions = InteractiveSession.actions_from_prompt_list(
+        pipe.cfg, list(batch["prompt"]))
+    sess = InteractiveSession(pipe, history_limit_chunks=1)
+    sess.start(batch["img"], seed=61)
+    for a in actions:
+        out = sess.step(a)
+    ds = pipe.cfg.vae_downsample
+    assert len(sess.images_list) == 1
+    assert sess.images_list[0].shape[2] % ds == 1     # phase restored
+    # frames and poses pair 1:1 after subsampling
+    n_frames = sess.images_list[0].shape[2]
+    n_pose = sum(t.shape[1] for t in sess.trans3d_list)
+    assert (n_frames + ds - 1) // ds == n_pose
+    assert np.isfinite(np.asarray(out["rgb"], np.float32)).all()
