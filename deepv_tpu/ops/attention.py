@@ -30,11 +30,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                        valid: jnp.ndarray, times: jnp.ndarray) -> jnp.ndarray:
-    """jnp fallback. q/k/v: [b, s, h, d]; valid: [b, s]; times: [s]."""
-    same = valid[:, :, None] == valid[:, None, :]
-    causal = times[:, None] >= times[None, :]
+def _attention_reference_qk(q, k, v, valid_q, times_q, valid_k, times_k):
+    """jnp path with independent query/key lengths (the guard fallback)."""
+    same = valid_q[:, :, None] == valid_k[:, None, :]
+    causal = times_q[:, None] >= times_k[None, :]
     bias = jnp.where(jnp.logical_and(same, causal[None]), 0.0, -jnp.inf
                      ).astype(jnp.float32)[:, None]
     scale = 1.0 / math.sqrt(q.shape[-1])
@@ -43,6 +42,32 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     w = jax.nn.softmax(logits + bias, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", w, v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        valid: jnp.ndarray, times: jnp.ndarray) -> jnp.ndarray:
+    """jnp fallback. q/k/v: [b, s, h, d]; valid: [b, s]; times: [s]."""
+    return _attention_reference_qk(q, k, v, valid, times, valid, times)
+
+
+# The single-pass kernel holds the whole padded K/V row plus a [block_q, Sk]
+# f32 logits tile (and its exp/normalise temporaries) in VMEM — ~16 MB/core
+# on current TPUs. Past this sequence length the kernel would fail at
+# compile time with an opaque Mosaic allocation error, so the wrapper
+# detects the overflow analytically and falls back to the jnp path, which
+# XLA tiles through HBM. Budget leaves headroom for compiler-managed
+# double-buffering.
+_VMEM_BUDGET_BYTES = 12 * 2 ** 20
+
+
+def _kernel_vmem_bytes(block_q: int, skp: int, d: int, itemsize: int) -> int:
+    kv = 2 * skp * d * itemsize            # K and V rows
+    q_tile = block_q * d * itemsize
+    logits = block_q * skp * 4             # f32 logits
+    temporaries = 2 * logits               # exp + normalised weights
+    out = block_q * d * itemsize
+    vectors = 2 * (block_q + skp) * 8      # valid/time rows (i32 + f32)
+    return kv + q_tile + logits + temporaries + out + vectors
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, validq_ref, timesq_ref,
@@ -84,6 +109,21 @@ def _attention_pallas_qk(q, k, v, valid_q, times_q, valid_k, times_k,
 
     sqp = _round_up(sq, block_q)
     skp = _round_up(sk, 128)
+
+    # VMEM guard: beyond the single-pass budget, route to the jnp path
+    # instead of dying in Mosaic allocation (tests/test_attention.py pins
+    # the boundary). A future online-softmax kernel would lift this.
+    need = _kernel_vmem_bytes(min(block_q, sqp), skp, d, q.dtype.itemsize)
+    if need > _VMEM_BUDGET_BYTES and not interpret:
+        import warnings
+        warnings.warn(
+            f"attention_pallas: packed K/V row of {sk} tokens needs ~"
+            f"{need >> 20} MiB VMEM (> {_VMEM_BUDGET_BYTES >> 20} MiB "
+            "single-pass budget); falling back to the XLA attention path. "
+            "Reduce the packed sequence (lower resolution / shorter "
+            "context) to regain the fused kernel.", stacklevel=2)
+        return _attention_reference_qk(q, k, v, valid_q, times_q,
+                                       valid_k, times_k)
 
     def to_bh(x, s, sp):   # [b, s, h, d] -> [b*h, sp, d]
         x = jnp.moveaxis(x, 2, 1).reshape(b * h, s, d)

@@ -86,3 +86,37 @@ def test_pallas_split_with_padding_frames():
                              interpret=True, n_last=n_last)
     np.testing.assert_allclose(np.asarray(split), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_vmem_guard_falls_back_above_budget():
+    """Beyond the single-pass VMEM budget the wrapper must return the exact
+    jnp-path result with an actionable warning instead of dying inside
+    Mosaic allocation (VERDICT r2 #7)."""
+    import warnings
+    from deepv_tpu.ops.attention import (_VMEM_BUDGET_BYTES,
+                                         _kernel_vmem_bytes)
+    # find an S just over the budget for d=64 f32 at the default block_q
+    d, block_q = 64, 256
+    s = 128
+    while _kernel_vmem_bytes(block_q, s, d, 4) <= _VMEM_BUDGET_BYTES:
+        s += 128
+    assert _kernel_vmem_bytes(block_q, s - 128, d, 4) <= _VMEM_BUDGET_BYTES
+    q, k, v, valid, times = make(s=s, h=1, d=d)
+    ref = attention_reference(q, k, v, valid, times)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        # interpret=False: the guard must trip BEFORE any kernel lowering
+        out = attention_pallas(q, k, v, valid, times, block_q=block_q)
+    assert any("VMEM" in str(w.message) for w in caught), \
+        [str(w.message) for w in caught]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_vmem_guard_quiet_below_budget():
+    """At the deployment packed shape (S~2.1k, d=64) the guard must NOT
+    trip — the fused kernel stays the production path."""
+    import warnings
+    from deepv_tpu.ops.attention import (_VMEM_BUDGET_BYTES,
+                                         _kernel_vmem_bytes)
+    assert _kernel_vmem_bytes(256, 2176, 64, 4) <= _VMEM_BUDGET_BYTES
