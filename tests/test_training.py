@@ -100,16 +100,52 @@ def test_pyramid_training_reduces_loss():
     assert float(loss) < first * 0.7, (first, float(loss))
 
 
+def test_trainer_pyramid_objective_reduces_loss():
+    """The Trainer's DEFAULT objective is the pyramid step (VERDICT r2 #6):
+    host-side (stage, unit_index) sampling over the packed multi-clip layout,
+    loss decreasing on a fixed batch. T=2 latent frames -> unit_index is
+    always 1, so only the 3 stage programs compile."""
+    params = init_mmdit_params(jax.random.PRNGKey(0), PYR_CFG)
+    trainer = Trainer(PYR_CFG, params, learning_rate=3e-3)
+    assert trainer.objective == "pyramid"
+    batches = [make_pyramid_batch(T=2) for _ in range(36)]
+    losses = [float(l) for l in trainer.train(batches, jax.random.PRNGKey(1),
+                                              log_every=0)]
+    first, last = np.mean(losses[:6]), np.mean(losses[-6:])
+    assert last < first * 0.8, (first, last)
+
+
+def test_trainer_sampling_is_resume_stable():
+    """(stage, unit) derive from (sample_seed, step): two trainers at the
+    same counter draw the same curriculum, and across steps the curriculum
+    covers multiple (stage, unit) layouts."""
+    params = init_mmdit_params(jax.random.PRNGKey(0), PYR_CFG)
+    t1 = Trainer(PYR_CFG, params, learning_rate=1e-3)
+    t2 = Trainer(PYR_CFG, params, learning_rate=1e-3)
+    b = make_pyramid_batch()
+    seen = set()
+    for s in range(30):
+        t1.step = t2.step = s
+        draw = t1._sample_stage_unit(b)
+        assert draw == t2._sample_stage_unit(b)
+        stage, unit = draw
+        assert 0 <= stage < 3 and 1 <= unit < 8
+        seen.add(draw)
+    assert len(seen) > 3
+
+
 def test_trainer_checkpoint_resume(tmp_path):
     params = init_mmdit_params(jax.random.PRNGKey(0), CFG)
-    trainer = Trainer(CFG, params, learning_rate=1e-3, ckpt_dir=str(tmp_path))
+    trainer = Trainer(CFG, params, learning_rate=1e-3, ckpt_dir=str(tmp_path),
+                      objective="single_clip")
     batches = [make_batch() for _ in range(3)]
     trainer.train(batches, jax.random.PRNGKey(0), log_every=0)
     assert trainer.step == 3
     path = trainer.save()
 
     trainer2 = Trainer(CFG, init_mmdit_params(jax.random.PRNGKey(7), CFG),
-                       learning_rate=1e-3, ckpt_dir=str(tmp_path))
+                       learning_rate=1e-3, ckpt_dir=str(tmp_path),
+                       objective="single_clip")
     trainer2.restore(path)
     assert trainer2.step == 3
     a = jax.tree.leaves(trainer.params)[0]
