@@ -59,7 +59,8 @@ def causal_group_norm(x: jnp.ndarray, num_groups: int, p: dict,
         return y.reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)
 
     g = num_groups
-    xf = x.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(b * t, g, c // g, h * w)
+    ct = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(ct).transpose(0, 2, 1, 3, 4).reshape(b * t, g, c // g, h * w)
     local_n = (c // g) * h * w
     s = lax.psum(jnp.sum(xf, axis=(2, 3)), cp_axis)
     ss = lax.psum(jnp.sum(jnp.square(xf), axis=(2, 3)), cp_axis)
@@ -68,8 +69,8 @@ def causal_group_norm(x: jnp.ndarray, num_groups: int, p: dict,
     var = (ss / n)[:, :, None, None] - jnp.square(mean)
     xf = (xf - mean) * lax.rsqrt(var + 1e-6)
     xf = xf.reshape(b * t, c, h, w)
-    out = xf * p["weight"].astype(jnp.float32).reshape(1, c, 1, 1) \
-        + p["bias"].astype(jnp.float32).reshape(1, c, 1, 1)
+    out = xf * p["weight"].astype(ct).reshape(1, c, 1, 1) \
+        + p["bias"].astype(ct).reshape(1, c, 1, 1)
     return out.astype(x.dtype).reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)
 
 
@@ -110,12 +111,13 @@ def attn2d_apply(p: dict, x: jnp.ndarray, groups: int, cp_axis=None) -> jnp.ndar
     q = linear(xn, p["to_q"])
     k = linear(xn, p["to_k"])
     v = linear(xn, p["to_v"])
-    scale = 1.0 / jnp.sqrt(jnp.float32(c))
+    ct = jnp.promote_types(x.dtype, jnp.float32)
+    scale = 1.0 / jnp.sqrt(ct.type(c))
     logits = jnp.einsum("bqc,bkc->bqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=ct) * scale
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bqk,bkc->bqc", weights, v,
-                     preferred_element_type=jnp.float32).astype(v.dtype)
+                     preferred_element_type=ct).astype(v.dtype)
     out = linear(out, p["to_out"])
     out = out.transpose(0, 2, 1) + resid
     return out.reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)

@@ -36,21 +36,23 @@ def linear(x: jnp.ndarray, params: dict) -> jnp.ndarray:
 def layer_norm(x: jnp.ndarray, eps: float = 1e-6,
                weight: Optional[jnp.ndarray] = None,
                bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """LayerNorm over the last axis, computed in float32."""
-    xf = x.astype(jnp.float32)
+    """LayerNorm over the last axis, computed in at-least-float32 (f64
+    inputs stay f64 so the torch oracles can pin the math exactly)."""
+    ct = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(ct)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     out = (xf - mean) * lax.rsqrt(var + eps)
     if weight is not None:
-        out = out * weight.astype(jnp.float32)
+        out = out * weight.astype(ct)
     if bias is not None:
-        out = out + bias.astype(jnp.float32)
+        out = out + bias.astype(ct)
     return out.astype(x.dtype)
 
 
 def rms_norm(x: jnp.ndarray, weight: Optional[jnp.ndarray], eps: float) -> jnp.ndarray:
-    """RMSNorm over the last axis in float32 (ref mmdit.py:435-464)."""
-    xf = x.astype(jnp.float32)
+    """RMSNorm over the last axis in at-least-f32 (ref mmdit.py:435-464)."""
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     out = xf * lax.rsqrt(var + eps)
     out = out.astype(x.dtype)
@@ -69,13 +71,14 @@ def group_norm(x: jnp.ndarray, num_groups: int, weight: jnp.ndarray,
     """
     b, c = x.shape[0], x.shape[1]
     spatial = x.shape[2:]
-    xf = x.astype(jnp.float32).reshape(b, num_groups, c // num_groups, -1)
+    ct = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(ct).reshape(b, num_groups, c // num_groups, -1)
     mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=(2, 3), keepdims=True)
     xf = (xf - mean) * lax.rsqrt(var + eps)
     xf = xf.reshape(b, c, *spatial)
     shape = (1, c) + (1,) * len(spatial)
-    out = xf * weight.astype(jnp.float32).reshape(shape) + bias.astype(jnp.float32).reshape(shape)
+    out = xf * weight.astype(ct).reshape(shape) + bias.astype(ct).reshape(shape)
     return out.astype(x.dtype)
 
 
