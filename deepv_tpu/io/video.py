@@ -1,9 +1,12 @@
 """Video export: mp4/gif writing, disparity colorization, controller overlay.
 
 Capability parity with ref run.py:186-348 (``save_video``, ``colorize_depth``,
-``add_controler_on_image``). The controller icons are rendered procedurally
-with PIL (simple arrow/rotation glyphs) instead of loading image assets, with
-the same placement grid and the same yellow active-highlight semantics.
+``add_controler_on_image``). Controller icons are loaded from an assets
+directory when one is available (ref run.py:199-212 loads
+``assets/icons/*.png`` and recolors the active ones to yellow through the
+alpha mask) and otherwise rendered procedurally with PIL (simple
+arrow/rotation glyphs) with the same placement grid and the same yellow
+active-highlight semantics.
 """
 
 from __future__ import annotations
@@ -54,20 +57,62 @@ def _rotation_icon(size: int, clockwise: bool, color) -> Image.Image:
     return img
 
 
-def add_controller_on_image(frame: Image.Image, prompt: str) -> Image.Image:
-    """Overlay the 10-icon controller pad; icons matching the motion sentence
-    turn yellow (ref run.py:186-245, same substring matching + grid)."""
+def _default_icon_dir() -> Optional[str]:
+    """The reference's hard-coded ``./assets/icons`` (ref run.py:199), taken
+    only when it actually holds the glyphs; overridable via
+    ``DEEPV_ICON_ASSETS``."""
+    d = os.environ.get("DEEPV_ICON_ASSETS", os.path.join("assets", "icons"))
+    return d if os.path.isfile(os.path.join(d, "forward.png")) else None
+
+
+def _asset_icon(assets_dir: str, name: str, size: int, active: bool) -> Image.Image:
+    """Load + resize a glyph; active icons are recolored to the highlight
+    yellow through their alpha mask (ref run.py:193-198 ``trans_color``)."""
+    img = Image.open(os.path.join(assets_dir, f"{name}.png")
+                     ).convert("RGBA").resize((size, size))
+    if active:
+        x = np.array(img)
+        mask = x[:, :, -1] > 0
+        x[:, :, :3][mask] = np.array(ACTIVE[:3], dtype=x.dtype)
+        img = Image.fromarray(x)
+    return img
+
+
+def add_controller_on_image(frame: Image.Image, prompt: str,
+                            assets_dir: Optional[str] = None) -> Image.Image:
+    """Overlay the controller pad; icons matching the motion sentence turn
+    yellow (ref run.py:186-245, same substring matching + grid). With an
+    assets dir (explicit, ``DEEPV_ICON_ASSETS``, or ``./assets/icons``) the
+    reference's PNG glyphs are pasted pixel-identically; otherwise
+    procedural glyphs keep the same geometry."""
     icon = 29  # ref run.py:200
+    assets_dir = assets_dir or _default_icon_dir()
+
+    def is_active(*substrings):
+        return any(s in prompt for s in substrings)
 
     def color_for(*substrings):
-        return ACTIVE if any(s in prompt for s in substrings) else IDLE
+        return ACTIVE if is_active(*substrings) else IDLE
 
-    forward = _arrow_icon(icon, 0, color_for("forward", "front left", "front right"))
-    backward = _arrow_icon(icon, 180, color_for("backward", "rear left", "rear right"))
-    left = _arrow_icon(icon, 270, color_for("the left", "front left", "rear left"))
-    right = _arrow_icon(icon, 90, color_for("the right", "front right", "rear right"))
-    counterclock = _rotation_icon(icon, False, color_for("counterclockwise"))
-    clock = _rotation_icon(icon, True, color_for(" clockwise"))
+    on = {
+        "forward": is_active("forward", "front left", "front right"),
+        "backward": is_active("backward", "rear left", "rear right"),
+        "left": is_active("the left", "front left", "rear left"),
+        "right": is_active("the right", "front right", "rear right"),
+        "counterclock": is_active("counterclockwise"),
+        "clock": is_active(" clockwise"),
+    }
+    if assets_dir is not None:
+        forward, backward, left, right, counterclock, clock = (
+            _asset_icon(assets_dir, name, icon, active)
+            for name, active in on.items())
+    else:
+        forward = _arrow_icon(icon, 0, color_for("forward", "front left", "front right"))
+        backward = _arrow_icon(icon, 180, color_for("backward", "rear left", "rear right"))
+        left = _arrow_icon(icon, 270, color_for("the left", "front left", "rear left"))
+        right = _arrow_icon(icon, 90, color_for("the right", "front right", "rear right"))
+        counterclock = _rotation_icon(icon, False, color_for("counterclockwise"))
+        clock = _rotation_icon(icon, True, color_for(" clockwise"))
 
     W, H = frame.size
     W = W // 3
@@ -84,7 +129,8 @@ def add_controller_on_image(frame: Image.Image, prompt: str) -> Image.Image:
 
 
 def save_video(output: Dict, output_path: str, fps: int = 20,
-               add_controler: bool = False, add_depth: bool = False) -> str:
+               add_controler: bool = False, add_depth: bool = False,
+               icon_assets: Optional[str] = None) -> str:
     """Write the generation result as mp4 (gif fallback), optionally with a
     side-by-side colorized disparity panel and controller overlay
     (ref run.py:303-348). Returns the path actually written."""
@@ -113,7 +159,9 @@ def save_video(output: Dict, output_path: str, fps: int = 20,
     if add_controler:
         prompts = np.concatenate(output["motion_prompt_list"])
         for i, frame in enumerate(frames):
-            frames[i] = add_controller_on_image(frame, str(prompts[int((i - 1) // 8 + 1)]))
+            frames[i] = add_controller_on_image(
+                frame, str(prompts[int((i - 1) // 8 + 1)]),
+                assets_dir=icon_assets)
 
     try:
         import imageio

@@ -52,6 +52,37 @@ def test_controller_overlay_runs():
     assert np.asarray(out).sum() > 0  # icons drawn
 
 
+def test_controller_overlay_loads_icon_assets(tmp_path):
+    """With an assets dir the reference's PNG glyphs are pasted at the same
+    grid, active ones recolored to yellow through the alpha mask
+    (ref run.py:193-212). Synthesizes a distinctive glyph set so the test
+    does not depend on the reference's binary assets."""
+    from PIL import Image
+    names = ["forward", "backward", "left", "right", "counterclock", "clock"]
+    for name in names:
+        icon = np.zeros((32, 32, 4), np.uint8)
+        icon[4:28, 4:28] = [10, 200, 30, 255]     # green box, opaque center
+        Image.fromarray(icon).save(tmp_path / f"{name}.png")
+
+    img = Image.new("RGB", (192 * 3, 128))
+    out = np.asarray(add_controller_on_image(
+        img, "Move forward.", assets_dir=str(tmp_path)))
+    icon_px = out[out.sum(axis=-1) > 0]
+    assert len(icon_px)                            # icons pasted
+    # the active (forward) icon is recolored to the highlight yellow; the
+    # idle ones keep the source green
+    yellow = (np.abs(icon_px.astype(int) - [244, 234, 42]) < 30).all(axis=-1)
+    green = (np.abs(icon_px.astype(int) - [10, 200, 30]) < 30).all(axis=-1)
+    assert yellow.any() and green.any()
+    # forward sits one icon-row above backward at the same x (ref grid)
+    W, icon_size = out.shape[1] // 3, 29
+    fwd = out[128 - 2 * icon_size:128 - icon_size,
+              W // 2 - 2 * icon_size:W // 2 - icon_size]
+    bwd = out[128 - icon_size:, W // 2 - 2 * icon_size:W // 2 - icon_size]
+    assert (np.abs(fwd[12, 12].astype(int) - [244, 234, 42]) < 30).all()
+    assert (np.abs(bwd[12, 12].astype(int) - [10, 200, 30]) < 30).all()
+
+
 def test_depth_edge_detects_step():
     d = np.ones((16, 16), np.float32)
     d[8:, :] = 5.0
