@@ -171,6 +171,55 @@ def tcp_vae_decode(cfg: VAEConfig, params: dict, z: jnp.ndarray, mesh: Mesh,
     return jnp.concatenate([y0, run(pd, cache0, z[:, :, 1:])], axis=2)
 
 
+# ---------------------------------------------------------------------------
+# Window-level spatial CP with an explicit cache carry — the building block
+# the mesh-aware InferencePipeline's streaming decode uses (one call per
+# latent window, conv caches carried between calls, H sharded throughout).
+# ---------------------------------------------------------------------------
+
+def _act_spec(axis: str):
+    """Activations AND conv-cache leaves are [b, c, t, H(+halo), w] — H is
+    always axis 3 (ops/causal_conv.py stores the halo-extended trailing
+    frames), so one prefix spec covers the whole cache pytree."""
+    return P(None, None, None, axis, None)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mode", "mesh", "axis"))
+def cp_dec_window(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache, mode: str,
+                  mesh: Mesh, axis: str = "tp"):
+    """One decode window under spatial CP. Returns ``(pixels, new_cache)``.
+
+    Drop-in for ``models.vae._dec_window`` with the H axis sharded: the
+    cache pytree's leaves keep their per-shard halo-extended H slices, so
+    successive windows compose exactly like the single-device carry."""
+    act = _act_spec(axis)
+    if cache is None:
+        fn = shard_map(lambda p_, z_: decoder_apply(cfg, p_, z_, None, mode, cp_axis=axis),
+                       mesh=mesh, in_specs=(P(), act), out_specs=(act, act),
+                       check_vma=False)
+        return fn(p, z)
+    fn = shard_map(lambda p_, z_, c_: decoder_apply(cfg, p_, z_, c_, mode, cp_axis=axis),
+                   mesh=mesh, in_specs=(P(), act, act), out_specs=(act, act),
+                   check_vma=False)
+    return fn(p, z, cache)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mode", "mesh", "axis"))
+def cp_enc_window(cfg: VAEConfig, p: dict, x: jnp.ndarray, cache, mode: str,
+                  mesh: Mesh, axis: str = "tp"):
+    """One encode window under spatial CP. Returns ``(moments, new_cache)``."""
+    act = _act_spec(axis)
+    if cache is None:
+        fn = shard_map(lambda p_, x_: encoder_apply(cfg, p_, x_, None, mode, cp_axis=axis),
+                       mesh=mesh, in_specs=(P(), act), out_specs=(act, act),
+                       check_vma=False)
+        return fn(p, x)
+    fn = shard_map(lambda p_, x_, c_: encoder_apply(cfg, p_, x_, c_, mode, cp_axis=axis),
+                   mesh=mesh, in_specs=(P(), act, act), out_specs=(act, act),
+                   check_vma=False)
+    return fn(p, x, cache)
+
+
 def cp_vae_encode_chunked(cfg: VAEConfig, params: dict, x: jnp.ndarray,
                           mesh: Mesh, axis: str = "cp",
                           window_size: int = 16) -> jnp.ndarray:

@@ -116,9 +116,59 @@ def _run_dryrun_on(devices, dp: int, tp: int, verbose: bool) -> float:
     pixels = tcp_vae_decode(vcfg, vparams, z, tcp_mesh)
     assert np.isfinite(np.asarray(pixels, np.float32)).all()
 
+    # the DEPLOYMENT program: a full (tiny-shape) InferencePipeline rollout
+    # with mesh= — TP-sharded _denoise_stage + spatial-CP VAE encode and
+    # streaming decode execute across all n shards (the inference-side
+    # counterpart of the training step above; tests/test_mesh_inference.py
+    # pins its f64 equality to the single-device rollout)
+    frames = _run_mesh_inference(tcp_mesh, n)
+
     if verbose:
         print(f"[dryrun] mesh {mesh.devices.shape} axes {mesh.axis_names} "
               f"(dp={dp} tp={tp}) loss={loss:.4f}; "
               f"cp mesh {cp_mesh.devices.shape} vae encode ok; "
-              f"temporal-cp decode of {z.shape[2]} latent frames ok")
+              f"temporal-cp decode of {z.shape[2]} latent frames ok; "
+              f"mesh inference rollout ({n}-way TP denoise + CP VAE) "
+              f"generated {frames} frames ok")
     return loss
+
+
+def _run_mesh_inference(mesh, n: int) -> int:
+    """One tiny-config chunk through ``InferencePipeline(mesh=...)``."""
+    import math
+
+    from ..config import VAEConfig
+    from ..io.text_embeds import random_text_embeds
+    from ..models.mmdit import init_mmdit_params
+    from ..models.vae import init_vae_params
+    from ..pipeline import InferencePipeline
+
+    # latent H must divide both the pyramid's 4x downsample * patch 2 and the
+    # n CP shards; pixel H = 8 * latent H then satisfies the encoder's
+    # n * downsample_scale divisibility
+    lat_h = 8 * n // math.gcd(8, n)
+    H = W = 8 * lat_h
+    vcfg = VAEConfig.tiny()
+    from ..config import MMDiTConfig, PipelineConfig
+    mcfg = MMDiTConfig(
+        sample_size=16, patch_size=2, in_channels=14, num_layers=2,
+        attention_head_dim=8, num_attention_heads=4,
+        caption_projection_dim=32, pooled_projection_dim=16,
+        pos_embed_max_size=32, joint_attention_dim=24)
+    # short chunk (4 latent units) keeps the dryrun compile-bound time low
+    pcfg = PipelineConfig(max_temporal_length=4, num_input_unit=2,
+                          num_input_image=9)
+    params = {"mmdit": init_mmdit_params(jax.random.PRNGKey(8), mcfg),
+              "vae": init_vae_params(jax.random.PRNGKey(9), vcfg)}
+    embeds = random_text_embeds(0, ["empty", "Move forward. The perspective hasn't changed."],
+                                joint_dim=mcfg.joint_attention_dim,
+                                pooled_dim=mcfg.pooled_projection_dim)
+    pipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds,
+                             dtype=jnp.float32, mesh=mesh)
+    img = jax.random.uniform(jax.random.PRNGKey(10), (1, 3, H, W),
+                             minval=-1.0, maxval=1.0)
+    prompts = np.array(["empty"] + ["Move forward. The perspective hasn't changed."] * 3)
+    out = pipe.generate({"img": img, "prompt": prompts, "prompt_type": "action"},
+                        seed=0)
+    assert np.isfinite(np.asarray(out["pred_img"], np.float32)).all()
+    return int(out["pred_img"].shape[2])

@@ -242,10 +242,33 @@ class InferencePipeline:
                  dtype=jnp.bfloat16, use_tiling: bool = False,
                  decode_window: int = 2, decode_batched: bool = False,
                  stream_decode: bool = True, text_encoder=None,
-                 flow_cache: str = "none"):
+                 flow_cache: str = "none", mesh=None, mesh_axis: str = "tp",
+                 reuse_decoder_cache: bool = False):
         self.cfg = cfg
         self.mcfg = mmdit_cfg
         self.vcfg = vae_cfg
+        #: multi-chip inference: a jax.sharding.Mesh with axis ``mesh_axis``.
+        #: The MMDiT params are tensor-parallel sharded over the axis
+        #: (parallel/tp.py Megatron splits; GSPMD inserts the ICI
+        #: collectives inside the jitted ``_denoise_stage``) and every VAE
+        #: encode/decode runs under spatial context parallelism over the
+        #: image-height axis (parallel/cp.py ppermute halos — the deployed
+        #: rebuild of the reference's dormant CP, ref vae.py:22-153).
+        #: None (default) = single-device. Requires latent H % n_shards == 0
+        #: and pixel H % (n_shards * 8) == 0.
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .parallel.tp import shard_mmdit_params
+            assert mesh_axis in mesh.axis_names, \
+                f"mesh has axes {mesh.axis_names}, expected {mesh_axis!r}"
+            assert not use_tiling, "spatial tiling and spatial CP both bound " \
+                "memory by splitting H; use one or the other"
+            params = {**params,
+                      "mmdit": shard_mmdit_params(params["mmdit"], mesh, mesh_axis),
+                      "vae": jax.device_put(params["vae"],
+                                            NamedSharding(mesh, P()))}
         if vae_cfg.conv_impl == "int8":
             # precompute int8 weights once instead of re-quantising traced
             # weight arguments on every decode call (ops/conv_int8.py)
@@ -278,16 +301,31 @@ class InferencePipeline:
         #: pixel window becomes available (requires stream_decode) — the
         #: interactive-serving hook; windows include chunk-overlap re-decodes
         self.on_frames = None
+        #: carry the streaming-decoder conv caches across chunk boundaries
+        #: instead of re-decoding the 25-frame overlap from its re-encoded
+        #: latents (the serve.InteractiveSession option, now reachable from
+        #: generate()). Exact for the NEW frames' latents; the decoded
+        #: overlap pixels come from the previous chunk's latents rather than
+        #: the uint8-roundtripped re-encode the reference decodes
+        #: (ref pipeline.py:338-343), so outputs deviate slightly —
+        #: quantified in bench.py (reuse_deviation_*). Requires
+        #: stream_decode.
+        self.reuse_decoder_cache = reuse_decoder_cache
+        if reuse_decoder_cache:
+            assert stream_decode, "reuse_decoder_cache requires stream_decode"
         self.text_encoder = text_encoder
         self._embed_memo: Dict[str, Tuple] = {}
         self.schedule = FlowMatchSchedule(cfg.scheduler)
-        # fused Pallas attention on TPU; jnp reference elsewhere
+        # fused Pallas attention on TPU; jnp reference elsewhere. Under a
+        # mesh the jnp path is used even on TPU: GSPMD partitions its
+        # einsums across the tp axis, whereas the Pallas kernel is a
+        # single-device program XLA would have to replicate around.
         leaf = jax.tree.leaves(params["mmdit"])[0]
         try:
             platform = next(iter(leaf.devices())).platform
         except Exception:
             platform = jax.default_backend()
-        self.attn_impl = "pallas" if platform == "tpu" else "ref"
+        self.attn_impl = "pallas" if (platform == "tpu" and mesh is None) else "ref"
         self.timer: PhaseTimer = PhaseTimer(sync=False)  # opt-in observability
         self.raymap_mean = jnp.asarray(cfg.raymap_mean, jnp.float32).reshape(1, 6, 1, 1, 1)
         self.raymap_std = jnp.asarray(cfg.raymap_std, jnp.float32).reshape(1, 6, 1, 1, 1)
@@ -338,6 +376,19 @@ class InferencePipeline:
         # are re-concatenated before the single gaussian_sample call, so the
         # PRNG pairing (and hence every output) is unchanged.
         chunked = x.shape[2] > 17
+        if self.mesh is not None:
+            from .parallel.cp import cp_vae_encode, cp_vae_encode_chunked
+            if chunked:
+                enc = lambda row: cp_vae_encode_chunked(
+                    self.vcfg, self.params["vae"], row, self.mesh,
+                    axis=self.mesh_axis, window_size=8)
+            else:
+                enc = lambda row: cp_vae_encode(
+                    self.vcfg, self.params["vae"], row, self.mesh,
+                    axis=self.mesh_axis)
+            parts = [enc(x[i:i + 1].astype(self.dtype)) for i in range(x.shape[0])]
+            moments = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            return gaussian_sample(moments, key)
         parts = [vae_encode(self.vcfg, self.params["vae"],
                             x[i:i + 1].astype(self.dtype),
                             temporal_chunk=chunked, window_size=8,
@@ -363,6 +414,11 @@ class InferencePipeline:
         else:
             z = z / c.vae_video_scale_factor + c.vae_video_shift_factor
             mode = "cont"
+        if self.mesh is not None:
+            from .parallel.cp import cp_dec_window
+            return cp_dec_window(self.vcfg, self.params["vae"]["decoder"],
+                                 z.astype(self.dtype), cache, mode,
+                                 self.mesh, axis=self.mesh_axis)
         return _dec_window(self.vcfg, self.params["vae"]["decoder"],
                            z.astype(self.dtype), cache, mode)
 
@@ -375,6 +431,12 @@ class InferencePipeline:
             first = lat[:, :, :1] / c.vae_scale_factor + c.vae_shift_factor
             rest = lat[:, :, 1:] / c.vae_video_scale_factor + c.vae_video_shift_factor
             lat = jnp.concatenate([first, rest], axis=2)
+        if self.mesh is not None:
+            from .parallel.cp import cp_vae_decode_chunked
+            return cp_vae_decode_chunked(self.vcfg, self.params["vae"],
+                                         lat.astype(self.dtype), self.mesh,
+                                         axis=self.mesh_axis,
+                                         window_size=self.decode_window)
         return vae_decode(self.vcfg, self.params["vae"], lat.astype(self.dtype),
                           temporal_chunk=True, window_size=self.decode_window,
                           use_tiling=self.use_tiling)
@@ -440,7 +502,7 @@ class InferencePipeline:
                      input_history, guidance_scale: float = 4.0,
                      video_guidance_scale: float = 3.5,
                      use_linear_guidance: bool = False, alpha: float = 1.0,
-                     min_guidance_scale: float = 1.1):
+                     min_guidance_scale: float = 1.1, dec_state=None):
         cfg, mcfg = self.cfg, self.mcfg
         firstframe_mask = input_disparity is None
         num_rows = 2 if input_history is None else 3
@@ -505,14 +567,22 @@ class InferencePipeline:
                 self.on_frames(yi, yd)
 
         if stream and not firstframe_mask:
-            # warm the decoder caches on the carried-over latent frames ONE
-            # frame at a time: a single t=4 window peaks ~4x the steady
-            # window's activations (25 output frames of f32 group-norm
-            # intermediates at 384x512) and OOMs HBM on top of params +
-            # rollout state; per-frame windows are bit-identical (chunked ==
-            # full) and reuse the compiled steady-state programs
-            for fi in range(input_image_latent.shape[2]):
-                stream_push(input_image_latent[:, :, fi:fi + 1])
+            if dec_state is not None:
+                # reuse_decoder_cache: the previous chunk's decoder caches
+                # already hold the overlap's conv state — skip the ~2.5 s
+                # overlap re-decode; only the NEW units will be decoded
+                rgb_cache, disp_cache = dec_state
+                stream_first = False
+            else:
+                # warm the decoder caches on the carried-over latent frames
+                # ONE frame at a time: a single t=4 window peaks ~4x the
+                # steady window's activations (25 output frames of f32
+                # group-norm intermediates at 384x512) and OOMs HBM on top
+                # of params + rollout state; per-frame windows are
+                # bit-identical (chunked == full) and reuse the compiled
+                # steady-state programs
+                for fi in range(input_image_latent.shape[2]):
+                    stream_push(input_image_latent[:, :, fi:fi + 1])
 
         if use_linear_guidance:
             # per-unit decayed guidance (ref pipeline.py:544-546, 592-594)
@@ -579,7 +649,7 @@ class InferencePipeline:
                 force_completion(disparity)
         if cfg.no_need_depth:
             disparity = jnp.zeros_like(disparity)
-        return image, disparity, trans3d, trans2d
+        return image, disparity, trans3d, trans2d, (rgb_cache, disp_cache)
 
     # -- full rollout (ref pipeline.py:264-424) -------------------------------
 
@@ -611,6 +681,8 @@ class InferencePipeline:
         input_disparity = input_raymap = input_history = None
         scale_factor = jnp.float32(1.0)
         start_unit = 0
+        reuse = self.reuse_decoder_cache
+        dec_state = tail_rgb = tail_disp = None
 
         for now_iter in range(total_iters):
             motion_prompt = [prompts[0]] + prompts[start_unit + 1: start_unit + actual_unit]
@@ -619,11 +691,22 @@ class InferencePipeline:
                 input_raymap = (input_raymap - self.raymap_mean) / self.raymap_std
 
             key, k_chunk = jax.random.split(key)
-            images, disparitys, trans3d, trans2d = self.generate_i2v(
+            images, disparitys, trans3d, trans2d, dec_state = self.generate_i2v(
                 k_chunk, motion_prompt, use_motion,
                 input_image, input_disparity, input_raymap, input_history,
                 guidance_scale=guidance_scale,
-                video_guidance_scale=video_guidance_scale)
+                video_guidance_scale=video_guidance_scale,
+                dec_state=(dec_state if reuse else None))
+
+            if reuse:
+                if now_iter > 0:
+                    # the overlap was not re-decoded; restore the previous
+                    # chunk's raw tail so the bookkeeping sees the full
+                    # 57-frame layout (same recipe as serve._finish_chunk)
+                    images = jnp.concatenate([tail_rgb, images], axis=2)
+                    disparitys = jnp.concatenate([tail_disp, disparitys], axis=2)
+                tail_rgb = images[:, :, -n_img:]
+                tail_disp = disparitys[:, :, -n_img:]
 
             images, disparitys = self._accumulate_chunk(
                 now_iter, images, disparitys, trans3d, trans2d, motion_prompt,

@@ -55,10 +55,24 @@ def prepare_input_image(image_path: str, height: int, width: int) -> np.ndarray:
     return arr.transpose(2, 0, 1)[None]
 
 
+def _make_tp_mesh(tp_shards: int):
+    """Mesh over the first tp_shards accelerator devices (TP denoise +
+    spatial-CP VAE — see InferencePipeline ``mesh``). Fails loudly when the
+    host has fewer chips; never clamps."""
+    from .parallel.mesh import make_mesh
+    devices = jax.devices()
+    assert len(devices) >= tp_shards, \
+        f"--tp_shards {tp_shards} needs {tp_shards} devices, have {len(devices)}"
+    return make_mesh((tp_shards,), ("tp",), devices=devices[:tp_shards])
+
+
 def load_pipeline(model_path: str, model_cfg: PipelineConfig,
                   random_weights: bool = False, dtype=jnp.bfloat16,
-                  height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH) -> InferencePipeline:
+                  height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH,
+                  tp_shards: int = 1) -> InferencePipeline:
     from .io import weights as weights_io
+
+    mesh = _make_tp_mesh(tp_shards) if tp_shards > 1 else None
 
     if random_weights or not os.path.isdir(model_path):
         if os.environ.get("DEEPV_TINY") == "1":   # smoke-run architecture
@@ -93,8 +107,10 @@ def load_pipeline(model_path: str, model_cfg: PipelineConfig,
                                         joint_dim=mcfg.joint_attention_dim,
                                         pooled_dim=mcfg.pooled_projection_dim)
         return InferencePipeline(model_cfg, mcfg, vcfg, params, embeds,
-                                 dtype=dtype, text_encoder=text_encoder)
-    return InferencePipeline(model_cfg, mcfg, vcfg, params, embeds, dtype=dtype)
+                                 dtype=dtype, text_encoder=text_encoder,
+                                 mesh=mesh)
+    return InferencePipeline(model_cfg, mcfg, vcfg, params, embeds, dtype=dtype,
+                             mesh=mesh)
 
 
 def main(input_image: str, model_path: str, prompt_type: str = "text",
@@ -102,12 +118,13 @@ def main(input_image: str, model_path: str, prompt_type: str = "text",
          add_controler: bool = False, add_depth: bool = False,
          add_ply: bool = False, random_weights: bool = False,
          output_path: str = "output/generated_video.mp4",
-         height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH):
+         height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH,
+         tp_shards: int = 1, icon_assets: str = None):
     model_cfg = create_model_config(model_path, no_need_depth=no_need_depth,
                                     use_motion_prompt=(prompt_type == "action"))
 
     pipeline = load_pipeline(model_path, model_cfg, random_weights=random_weights,
-                             height=height, width=width)
+                             height=height, width=width, tp_shards=tp_shards)
 
     img = prepare_input_image(input_image, height, width)
     batch = {
@@ -125,7 +142,8 @@ def main(input_image: str, model_path: str, prompt_type: str = "text",
 
     written = save_video(output, output_path, fps=20,
                          add_controler=(add_controler and prompt_type == "action"),
-                         add_depth=(add_depth and not no_need_depth))
+                         add_depth=(add_depth and not no_need_depth),
+                         icon_assets=icon_assets)
     if add_ply and not no_need_depth:
         save_ply(output, output_path.replace(".mp4", ".ply"))
     print(f"[info] save result at {written}")
@@ -148,6 +166,12 @@ def cli():
     p.add_argument("--output_path", default="output/generated_video.mp4")
     p.add_argument("--height", type=int, default=VIDEO_HEIGHT)
     p.add_argument("--width", type=int, default=VIDEO_WIDTH)
+    p.add_argument("--tp_shards", type=int, default=1,
+                   help="shard inference over this many chips (TP denoise + "
+                        "spatial-CP VAE); 1 = single device")
+    p.add_argument("--icon_assets", default=None,
+                   help="directory with the controller icon PNGs (default: "
+                        "./assets/icons when present, else procedural glyphs)")
     args = p.parse_args()
     main(**vars(args))
 

@@ -360,24 +360,52 @@ class SessionServer:
       POST /close   {"session_id": ...} -> {"closed": true}
       GET  /metrics -> {"sessions": n, "frames_out": n, "steps": n}
 
-    One device-owning worker thread serializes all session compute (the chip
-    runs one program at a time anyway); HTTP threads only queue requests.
+    One device lock serializes all session compute (the chip runs one
+    program at a time anyway); HTTP threads only queue requests. The
+    sessions *registry* has its own fast lock so ``/metrics`` (and
+    ``/close``) answer in microseconds even while a multi-second
+    chunk-boundary step holds the device — metrics counters are monotonic
+    ints mutated only by the single step holding the device lock, so
+    reading them without it is safe (worst case: one step stale).
     Served sessions keep a bounded rollout history (``history_limit_chunks``,
     default 4) so long-lived sessions cannot exhaust device memory; clients
-    consume frames from /step responses.
+    consume frames from /step responses. Sessions idle longer than
+    ``session_ttl_s`` (default 15 min; None disables) are evicted lazily on
+    the next request, reclaiming their device state; ``/metrics`` reports
+    the eviction count.
     """
 
     def __init__(self, pipe: InferencePipeline, host: str = "127.0.0.1",
                  port: int = 0, max_sessions: int = 4,
-                 history_limit_chunks: int = 4):
+                 history_limit_chunks: int = 4,
+                 session_ttl_s: Optional[float] = 900.0):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self.pipe = pipe
         self.max_sessions = max_sessions
         self.history_limit_chunks = history_limit_chunks
+        self.session_ttl_s = session_ttl_s
         self.sessions: Dict[str, InteractiveSession] = {}
-        self._lock = threading.Lock()   # serializes device work
+        self._last_used: Dict[str, float] = {}
+        self._device_lock = threading.Lock()    # serializes device work
+        self._registry_lock = threading.Lock()  # sessions dict; never held
+        #                                         across device work
+        self.evicted_total = 0
         outer = self
+
+        def evict_expired() -> None:
+            """Drop sessions idle past the TTL (registry lock only — device
+            state is reclaimed when the arrays lose their last reference)."""
+            if outer.session_ttl_s is None:
+                return
+            now = time.time()
+            with outer._registry_lock:
+                dead = [sid for sid, t in outer._last_used.items()
+                        if now - t > outer.session_ttl_s]
+                for sid in dead:
+                    outer.sessions.pop(sid, None)
+                    outer._last_used.pop(sid, None)
+                outer.evicted_total += len(dead)
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, fmt, *args):
@@ -393,12 +421,19 @@ class SessionServer:
 
             def do_GET(self):
                 if self.path == "/metrics":
-                    with outer._lock:
-                        self._json(200, {
-                            "sessions": len(outer.sessions),
-                            "frames_out": sum(s.frames_out for s in outer.sessions.values()),
-                            "steps": sum(s.steps_done for s in outer.sessions.values()),
-                        })
+                    evict_expired()
+                    with outer._registry_lock:
+                        sessions = list(outer.sessions.values())
+                    # counters read WITHOUT the device lock: /metrics must
+                    # answer during a running step (tests/test_serve.py pins
+                    # the latency)
+                    self._json(200, {
+                        "sessions": len(sessions),
+                        "frames_out": sum(s.frames_out for s in sessions),
+                        "steps": sum(s.steps_done for s in sessions),
+                        "evicted_total": outer.evicted_total,
+                        "session_ttl_s": outer.session_ttl_s,
+                    })
                 else:
                     self._json(404, {"error": "unknown path"})
 
@@ -406,39 +441,60 @@ class SessionServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    evict_expired()
                     if self.path == "/session":
                         sid = uuid.uuid4().hex[:12]
                         sess = InteractiveSession(
                             outer.pipe,
                             history_limit_chunks=outer.history_limit_chunks)
-                        with outer._lock:
+                        with outer._registry_lock:
                             if len(outer.sessions) >= outer.max_sessions:
                                 self._json(409, {
                                     "error": f"max_sessions={outer.max_sessions} "
                                              "held; POST /close one first"})
                                 return
-                            sess.start(_b64_np(req["image"]),
-                                       seed=int(req.get("seed", 666)),
-                                       prompt_type=req.get("prompt_type", "action"))
+                            # reserve the slot before the (slow) start so a
+                            # concurrent /session cannot oversubscribe
                             outer.sessions[sid] = sess
+                            outer._last_used[sid] = time.time()
+                        try:
+                            with outer._device_lock:
+                                sess.start(_b64_np(req["image"]),
+                                           seed=int(req.get("seed", 666)),
+                                           prompt_type=req.get("prompt_type", "action"))
+                        except Exception:
+                            with outer._registry_lock:
+                                outer.sessions.pop(sid, None)
+                                outer._last_used.pop(sid, None)
+                            raise
                         self._json(200, {"session_id": sid})
                     elif self.path == "/close":
-                        with outer._lock:
-                            closed = outer.sessions.pop(
-                                req.get("session_id", ""), None) is not None
+                        with outer._registry_lock:
+                            sid = req.get("session_id", "")
+                            closed = outer.sessions.pop(sid, None) is not None
+                            outer._last_used.pop(sid, None)
                         self._json(200 if closed else 404,
                                    {"closed": closed})
                     elif self.path == "/step":
-                        with outer._lock:
-                            # fetch under the lock: a concurrent /close must
-                            # not let a step run on an orphaned session
-                            sess = outer.sessions.get(req.get("session_id", ""))
-                            if sess is None:
-                                self._json(404, {"error": "unknown session"})
-                                return
+                        sid = req.get("session_id", "")
+                        with outer._registry_lock:
+                            sess = outer.sessions.get(sid)
+                        if sess is None:
+                            self._json(404, {"error": "unknown session"})
+                            return
+                        with outer._device_lock:
+                            # re-check: a /close racing the queue wait must
+                            # not resurrect the session's device state
+                            with outer._registry_lock:
+                                if outer.sessions.get(sid) is not sess:
+                                    self._json(404, {"error": "session closed"})
+                                    return
+                                outer._last_used[sid] = time.time()
                             out = sess.step(req["action"])
                             rgb = _np_b64(out["rgb"])
                             disp = _np_b64(out["disparity"])
+                        with outer._registry_lock:
+                            outer._last_used[sid] = time.time()
                         self._json(200, {
                             "rgb": rgb, "disparity": disp,
                             "chunk_complete": bool(out["chunk_complete"]),
@@ -477,13 +533,17 @@ def cli():
     p.add_argument("--no_need_depth", action="store_true")
     p.add_argument("--random_weights", action="store_true",
                    help="random-initialise the full model (no checkpoint)")
+    p.add_argument("--tp_shards", type=int, default=1,
+                   help="shard inference over this many chips (TP denoise + "
+                        "spatial-CP VAE); 1 = single device")
     args = p.parse_args()
 
     model_cfg = create_model_config(args.model_path,
                                     no_need_depth=args.no_need_depth,
                                     use_motion_prompt=True)
     pipe = load_pipeline(args.model_path, model_cfg,
-                         random_weights=args.random_weights)
+                         random_weights=args.random_weights,
+                         tp_shards=args.tp_shards)
     server = SessionServer(pipe, host=args.host, port=args.port)
     port = server.start()
     print(f"[serve] listening on http://{args.host}:{port} "

@@ -229,3 +229,49 @@ def test_session_history_limit_preserves_retrieval_phase(pipe):
     n_pose = sum(t.shape[1] for t in sess.trans3d_list)
     assert (n_frames + ds - 1) // ds == n_pose
     assert np.isfinite(np.asarray(out["rgb"], np.float32)).all()
+
+
+def test_metrics_not_blocked_by_device_lock(pipe):
+    """/metrics must answer while a step holds the device (VERDICT r2 #8):
+    simulate a long-running step by holding the device lock and require the
+    metrics round trip to complete immediately."""
+    import time
+    server = SessionServer(pipe, port=0)
+    port = server.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        with server._device_lock:          # a 5s chunk-boundary step
+            t0 = time.perf_counter()
+            conn.request("GET", "/metrics")
+            m = json.loads(conn.getresponse().read())
+            dt = time.perf_counter() - t0
+        assert dt < 1.0, f"/metrics queued behind device work: {dt:.3f}s"
+        assert m["sessions"] == 0 and m["evicted_total"] == 0
+        assert "session_ttl_s" in m
+    finally:
+        server.stop()
+
+
+def test_session_ttl_eviction(pipe):
+    """Sessions idle past session_ttl_s are evicted lazily and reported."""
+    import time
+    server = SessionServer(pipe, port=0, session_ttl_s=0.2)
+    port = server.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port)
+        img = np.asarray(make_batch()["img"])
+        conn.request("POST", "/session", json.dumps({"image": _np_b64(img),
+                                                     "seed": 71}),
+                     {"Content-Type": "application/json"})
+        sid = json.loads(conn.getresponse().read())["session_id"]
+        time.sleep(0.5)                    # idle past the TTL
+        conn.request("GET", "/metrics")
+        m = json.loads(conn.getresponse().read())
+        assert m["sessions"] == 0 and m["evicted_total"] == 1
+        # the evicted session's device state is gone; stepping it is a 404
+        conn.request("POST", "/step",
+                     json.dumps({"session_id": sid, "action": "x"}),
+                     {"Content-Type": "application/json"})
+        assert conn.getresponse().status == 404
+    finally:
+        server.stop()
