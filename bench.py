@@ -5,7 +5,20 @@ with the other two metrics of record (BASELINE.md:18-19) as extra fields:
 
   {"metric": "gen_fps_chip", "value": N, "unit": "frames/s",
    "vs_baseline": N/4.0,
-   "denoise_steps_per_s": N, "ttff_p50_s": N, "attn_parity_max_err": N}
+   "denoise_steps_per_s": N, "ttff_p50_s": N, "attn_parity_max_err": N,
+   "sustained_fps": N, "chunk2plus_new_frames_per_s": N,
+   "gen_fps_fast": N, "fast_deviation_p95": N, "fast_deviation_mean": N}
+
+``sustained_fps`` is the honest steady-state autoregressive number: ONE
+continuous >=3-chunk rollout (first chunk + chunk boundaries with 3-row CFG,
+25-frame overlap re-decode, carry re-encode, retrieved history — ref
+pipeline.py:316-411 semantics) divided by its whole wall-clock;
+``chunk2plus_new_frames_per_s`` isolates the post-first-chunk regime (new
+frames per second once the rollout is warm). ``gen_fps_fast`` is the same
+single-chunk measurement with the quality-gated fast modes on
+(flow_cache="skip_odd" + int8 top-resolution VAE convs), and
+``fast_deviation_p95``/``_mean`` quantify that gate: |Δ| in 8-bit pixel units
+vs the exact rollout on identical seeds over the full 57-frame chunk.
 
 Baseline: the reference generates 4 FPS (RGB+depth autoregressive rollout)
 on one NVIDIA A800 (ref README.md:78; BASELINE.md). We measure the same
@@ -49,20 +62,37 @@ def sync(x) -> float:
 
 
 def fast_params(mcfg, vcfg, dtype):
-    """Constant-initialised full parameter tree: shapes identical to real
-    weights, creation cost near zero (one fused program)."""
+    """Cheaply-initialised full parameter tree: shapes identical to real
+    weights, creation cost near zero (ONE jitted program — per-leaf
+    jax.random.* would round-trip the tunnel hundreds of times). Values are
+    small sines of iota rather than a constant: a constant fill makes the
+    decoded disparity spatially constant, which NaNs the chunk-boundary
+    ``scale_factor = 1/max(disparity)`` (the reference's own formula) and
+    poisons every chunk>=2 — timing is value-independent either way, but the
+    deviation metrics need finite pixels."""
     from deepv_tpu.models.mmdit import init_mmdit_params
     from deepv_tpu.models.vae import init_vae_params
 
-    def constify(tree):
-        return jax.tree.map(lambda x: jnp.full(x.shape, 0.02, dtype), tree)
-
-    # build shape skeletons cheaply via eval_shape, then materialise constants
+    # build shape skeletons cheaply via eval_shape, then materialise varied
+    # values in a single fused program
     m_shapes = jax.eval_shape(lambda k: init_mmdit_params(k, mcfg, dtype=dtype),
                               jax.random.PRNGKey(0))
     v_shapes = jax.eval_shape(lambda k: init_vae_params(k, vcfg, dtype=dtype),
                               jax.random.PRNGKey(0))
-    return {"mmdit": constify(m_shapes), "vae": constify(v_shapes)}
+    skeleton = {"mmdit": m_shapes, "vae": v_shapes}
+    leaves, treedef = jax.tree.flatten(skeleton)
+
+    @jax.jit
+    def materialise():
+        outs = []
+        for i, leaf in enumerate(leaves):
+            n = max(int(np.prod(leaf.shape)), 1)
+            v = 0.02 * jnp.sin(jnp.arange(n, dtype=jnp.float32)
+                               * (0.618 + 1e-4 * i))
+            outs.append(v.reshape(leaf.shape).astype(dtype))
+        return outs
+
+    return jax.tree.unflatten(treedef, materialise())
 
 
 def attention_parity_on_chip(mcfg, H, W, ctx_len=77) -> float:
@@ -175,6 +205,63 @@ def main():
     fps = frames / dt
     print(f"[bench] steady chunk: {dt:.2f}s -> {fps:.2f} frames/s", file=sys.stderr)
 
+    # -- sustained autoregressive rate: ONE continuous >=3-chunk rollout -----
+    # (the regime BASELINE.md:17 actually defines — chunk boundaries carry
+    # 3-row CFG, the 25-frame overlap re-decode, the carry re-encode and
+    # retrieved-history encode, ref pipeline.py:316-411)
+    sus_chunks = int(os.environ.get("BENCH_SUSTAINED_CHUNKS", "3"))
+    n_unit_cfg = pcfg.max_temporal_length - pcfg.num_input_unit
+    long_prompts = np.array(
+        ["empty"] + ["Move forward. The perspective hasn't changed."]
+        * (pcfg.max_temporal_length - 1 + (sus_chunks - 1) * n_unit_cfg))
+    long_batch = {"img": img, "prompt": long_prompts, "prompt_type": "action"}
+    t0 = time.time()
+    out_l = pipe.generate(long_batch, seed=7)     # compile pass (boundary programs)
+    sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
+    warm_l = time.time() - t0
+    frames_l = int(out_l["pred_img"].shape[2])
+    print(f"[bench] sustained warmup ({sus_chunks} chunks, {frames_l} frames): "
+          f"{warm_l:.1f}s (incl. compile)", file=sys.stderr)
+    t0 = time.time()
+    out_l = pipe.generate(long_batch, seed=8)
+    sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
+    dt_l = time.time() - t0
+    sustained_fps = frames_l / dt_l
+    # isolate chunk>=2: subtract the separately-measured first-chunk time
+    chunk2plus = (frames_l - frames) / max(dt_l - dt, 1e-9)
+    print(f"[bench] sustained: {frames_l} frames / {dt_l:.1f}s -> "
+          f"{sustained_fps:.2f} fps; chunk2+ new frames: "
+          f"{chunk2plus:.2f}/s", file=sys.stderr)
+
+    # -- quality-gated fast modes: rate AND measured deviation ---------------
+    from dataclasses import replace as _dc_replace
+    vcfg_fast = _dc_replace(vcfg, conv_impl="int8")
+    fpipe = InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
+                              dtype=dtype, flow_cache="skip_odd",
+                              decode_window=pipe.decode_window,
+                              decode_batched=(preset == "tiny"),
+                              stream_decode=pipe.stream_decode)
+    exact_ref = pipe.generate(batch, seed=42)
+    sync(exact_ref["pred_img"])
+    t0 = time.time()
+    out_f = fpipe.generate(batch, seed=42)        # compile pass
+    sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
+    print(f"[bench] fast warmup: {time.time()-t0:.1f}s (incl. compile)",
+          file=sys.stderr)
+    t0 = time.time()
+    out_f = fpipe.generate(batch, seed=42)
+    sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
+    dt_f = time.time() - t0
+    fps_fast = frames / dt_f
+    # deviation vs the exact rollout, identical seeds: 8-bit pixel units
+    dev = np.abs(np.asarray(out_f["pred_img"], np.float32)
+                 - np.asarray(exact_ref["pred_img"], np.float32)) * 127.5
+    fast_dev_p95 = float(np.percentile(dev, 95))
+    fast_dev_mean = float(dev.mean())
+    print(f"[bench] fast modes (skip_odd + int8): {dt_f:.2f}s -> "
+          f"{fps_fast:.2f} fps; deviation p95 {fast_dev_p95:.2f} / mean "
+          f"{fast_dev_mean:.2f} (8-bit units)", file=sys.stderr)
+
     # -- metric of record 2: denoise steps/s (one synced-timer chunk) --------
     from deepv_tpu.utils.profiling import PhaseTimer
     pipe.timer = PhaseTimer(sync=True)
@@ -210,6 +297,30 @@ def main():
     print(f"[bench] ttff runs: {[round(t, 3) for t in ttffs]} -> p50 {ttff_p50:.3f}s",
           file=sys.stderr)
 
+    # -- boundary optimisation: reuse_decoder_cache sustained rate + cost ----
+    # (skips the overlap re-decode at every chunk boundary by carrying the
+    # streaming decoder's conv caches; deviation vs the exact sustained
+    # rollout on the same seed quantifies the fidelity cost)
+    rpipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
+                              decode_window=pipe.decode_window,
+                              stream_decode=True, reuse_decoder_cache=True)
+    t0 = time.time()
+    out_r = rpipe.generate(long_batch, seed=8)    # compile pass (shared shapes)
+    sync(out_r["pred_img"]); sync(out_r["pred_disparity"])
+    print(f"[bench] reuse warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    out_r = rpipe.generate(long_batch, seed=8)
+    sync(out_r["pred_img"]); sync(out_r["pred_disparity"])
+    dt_r = time.time() - t0
+    sustained_fps_reuse = frames_l / dt_r
+    dev_r = np.abs(np.asarray(out_r["pred_img"], np.float32)
+                   - np.asarray(out_l["pred_img"], np.float32)) * 127.5
+    reuse_dev_p95 = float(np.percentile(dev_r, 95))
+    reuse_dev_mean = float(dev_r.mean())
+    print(f"[bench] sustained+reuse: {frames_l} frames / {dt_r:.1f}s -> "
+          f"{sustained_fps_reuse:.2f} fps; deviation p95 {reuse_dev_p95:.2f} "
+          f"/ mean {reuse_dev_mean:.2f} (8-bit units)", file=sys.stderr)
+
     # -- on-chip kernel parity (only meaningful where pallas is the prod path)
     attn_err = None
     if jax.default_backend() == "tpu" or pipe.attn_impl == "pallas":
@@ -223,6 +334,14 @@ def main():
         "denoise_steps_per_s": round(steps_per_s, 2),
         "ttff_p50_s": round(ttff_p50, 3),
         "attn_parity_max_err": attn_err,
+        "sustained_fps": round(sustained_fps, 3),
+        "chunk2plus_new_frames_per_s": round(chunk2plus, 3),
+        "gen_fps_fast": round(fps_fast, 3),
+        "fast_deviation_p95": round(fast_dev_p95, 3),
+        "fast_deviation_mean": round(fast_dev_mean, 3),
+        "sustained_fps_reuse": round(sustained_fps_reuse, 3),
+        "reuse_deviation_p95": round(reuse_dev_p95, 3),
+        "reuse_deviation_mean": round(reuse_dev_mean, 3),
     }))
 
 
