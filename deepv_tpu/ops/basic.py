@@ -21,7 +21,14 @@ from jax import lax
 
 
 def linear(x: jnp.ndarray, params: dict) -> jnp.ndarray:
-    """y = x @ W^T + b with W stored [out, in] (torch layout)."""
+    """y = x @ W^T + b with W stored [out, in] (torch layout).
+
+    Dispatches to the quality-gated W8A8 path when the dict carries
+    precomputed ``weight_int8`` entries (ops/linear_int8.py) — which layers
+    run int8 is decided by the quantiser, not here."""
+    if "weight_int8" in params:
+        from .linear_int8 import linear_int8
+        return linear_int8(x, params)
     w = params["weight"]
     y = lax.dot_general(
         x, w,

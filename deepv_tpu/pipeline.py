@@ -243,7 +243,8 @@ class InferencePipeline:
                  decode_window: int = 2, decode_batched: bool = False,
                  stream_decode: bool = True, text_encoder=None,
                  flow_cache: str = "none", mesh=None, mesh_axis: str = "tp",
-                 reuse_decoder_cache: bool = False):
+                 reuse_decoder_cache: bool = False,
+                 denoise_int8: bool = False):
         self.cfg = cfg
         self.mcfg = mmdit_cfg
         self.vcfg = vae_cfg
@@ -276,6 +277,16 @@ class InferencePipeline:
             params = {**params, "vae": {**params["vae"],
                                         "decoder": quantize_vae_decoder(
                                             params["vae"]["decoder"])}}
+        #: quality-gated W8A8 fast mode for the denoise stage (default off):
+        #: the per-block D^2 linears run on the MXU's 2x int8 rate
+        #: (ops/linear_int8.py); AdaLN/embedders/proj_out stay exact.
+        #: Composes with flow_cache and the VAE int8 path; combined
+        #: deviation is measured in bench.py (fast_deviation_*).
+        self.denoise_int8 = denoise_int8
+        if denoise_int8:
+            from .ops.linear_int8 import quantize_mmdit_params
+            params = {**params,
+                      "mmdit": quantize_mmdit_params(params["mmdit"])}
         self.params = params
         self.text_embeds = text_embeds
         self.dtype = dtype
