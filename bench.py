@@ -205,64 +205,10 @@ def main():
     fps = frames / dt
     print(f"[bench] steady chunk: {dt:.2f}s -> {fps:.2f} frames/s", file=sys.stderr)
 
-    # -- sustained autoregressive rate: ONE continuous >=3-chunk rollout -----
-    # (the regime BASELINE.md:17 actually defines — chunk boundaries carry
-    # 3-row CFG, the 25-frame overlap re-decode, the carry re-encode and
-    # retrieved-history encode, ref pipeline.py:316-411)
-    sus_chunks = int(os.environ.get("BENCH_SUSTAINED_CHUNKS", "3"))
-    n_unit_cfg = pcfg.max_temporal_length - pcfg.num_input_unit
-    long_prompts = np.array(
-        ["empty"] + ["Move forward. The perspective hasn't changed."]
-        * (pcfg.max_temporal_length - 1 + (sus_chunks - 1) * n_unit_cfg))
-    long_batch = {"img": img, "prompt": long_prompts, "prompt_type": "action"}
-    t0 = time.time()
-    out_l = pipe.generate(long_batch, seed=7)     # compile pass (boundary programs)
-    sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
-    warm_l = time.time() - t0
-    frames_l = int(out_l["pred_img"].shape[2])
-    print(f"[bench] sustained warmup ({sus_chunks} chunks, {frames_l} frames): "
-          f"{warm_l:.1f}s (incl. compile)", file=sys.stderr)
-    t0 = time.time()
-    out_l = pipe.generate(long_batch, seed=8)
-    sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
-    dt_l = time.time() - t0
-    sustained_fps = frames_l / dt_l
-    # isolate chunk>=2: subtract the separately-measured first-chunk time
-    chunk2plus = (frames_l - frames) / max(dt_l - dt, 1e-9)
-    print(f"[bench] sustained: {frames_l} frames / {dt_l:.1f}s -> "
-          f"{sustained_fps:.2f} fps; chunk2+ new frames: "
-          f"{chunk2plus:.2f}/s", file=sys.stderr)
-
-    # -- quality-gated fast modes: rate AND measured deviation ---------------
-    from dataclasses import replace as _dc_replace
-    vcfg_fast = _dc_replace(vcfg, conv_impl="int8")
-    fpipe = InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
-                              dtype=dtype, flow_cache="skip_odd",
-                              decode_window=pipe.decode_window,
-                              decode_batched=(preset == "tiny"),
-                              stream_decode=pipe.stream_decode)
-    exact_ref = pipe.generate(batch, seed=42)
-    sync(exact_ref["pred_img"])
-    t0 = time.time()
-    out_f = fpipe.generate(batch, seed=42)        # compile pass
-    sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
-    print(f"[bench] fast warmup: {time.time()-t0:.1f}s (incl. compile)",
-          file=sys.stderr)
-    t0 = time.time()
-    out_f = fpipe.generate(batch, seed=42)
-    sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
-    dt_f = time.time() - t0
-    fps_fast = frames / dt_f
-    # deviation vs the exact rollout, identical seeds: 8-bit pixel units
-    dev = np.abs(np.asarray(out_f["pred_img"], np.float32)
-                 - np.asarray(exact_ref["pred_img"], np.float32)) * 127.5
-    fast_dev_p95 = float(np.percentile(dev, 95))
-    fast_dev_mean = float(dev.mean())
-    print(f"[bench] fast modes (skip_odd + int8): {dt_f:.2f}s -> "
-          f"{fps_fast:.2f} fps; deviation p95 {fast_dev_p95:.2f} / mean "
-          f"{fast_dev_mean:.2f} (8-bit units)", file=sys.stderr)
-
     # -- metric of record 2: denoise steps/s (one synced-timer chunk) --------
+    # (runs BEFORE the sustained/fast sections: the sync-timer methodology is
+    # only clean while the exact pipe's programs are the sole device
+    # residents — measured 2.6x distortion when run after them)
     from deepv_tpu.utils.profiling import PhaseTimer
     pipe.timer = PhaseTimer(sync=True)
     pipe.generate(batch, seed=99)
@@ -296,6 +242,74 @@ def main():
     ttff_p50 = ttffs[len(ttffs) // 2]
     print(f"[bench] ttff runs: {[round(t, 3) for t in ttffs]} -> p50 {ttff_p50:.3f}s",
           file=sys.stderr)
+    # HBM discipline: every section releases its pipe + device outputs
+    # before the next one — holding them all OOMs the chip (params are
+    # 4.9 GB; each 121-frame rollout output is ~0.3 GB on device)
+    del spipe, out_s
+
+    # -- sustained autoregressive rate: ONE continuous >=3-chunk rollout -----
+    # (the regime BASELINE.md:17 actually defines — chunk boundaries carry
+    # 3-row CFG, the 25-frame overlap re-decode, the carry re-encode and
+    # retrieved-history encode, ref pipeline.py:316-411)
+    sus_chunks = int(os.environ.get("BENCH_SUSTAINED_CHUNKS", "3"))
+    n_unit_cfg = pcfg.max_temporal_length - pcfg.num_input_unit
+    long_prompts = np.array(
+        ["empty"] + ["Move forward. The perspective hasn't changed."]
+        * (pcfg.max_temporal_length - 1 + (sus_chunks - 1) * n_unit_cfg))
+    long_batch = {"img": img, "prompt": long_prompts, "prompt_type": "action"}
+    t0 = time.time()
+    out_l = pipe.generate(long_batch, seed=7)     # compile pass (boundary programs)
+    sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
+    warm_l = time.time() - t0
+    frames_l = int(out_l["pred_img"].shape[2])
+    print(f"[bench] sustained warmup ({sus_chunks} chunks, {frames_l} frames): "
+          f"{warm_l:.1f}s (incl. compile)", file=sys.stderr)
+    t0 = time.time()
+    out_l = pipe.generate(long_batch, seed=8)
+    sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
+    dt_l = time.time() - t0
+    sustained_fps = frames_l / dt_l
+    # isolate chunk>=2: subtract the separately-measured first-chunk time
+    chunk2plus = (frames_l - frames) / max(dt_l - dt, 1e-9)
+    print(f"[bench] sustained: {frames_l} frames / {dt_l:.1f}s -> "
+          f"{sustained_fps:.2f} fps; chunk2+ new frames: "
+          f"{chunk2plus:.2f}/s", file=sys.stderr)
+    out_l_np = np.asarray(out_l["pred_img"], np.float32)   # host copy for
+    del out_l                                              # the reuse diff
+
+    # -- quality-gated fast modes: rate AND measured deviation ---------------
+    # (the full composition: flow caching + int8 top-level VAE decode + int8
+    # MMDiT linears — measured individually in docs/ARCHITECTURE.md)
+    from dataclasses import replace as _dc_replace
+    vcfg_fast = _dc_replace(vcfg, conv_impl="int8")
+    fpipe = InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
+                              dtype=dtype, flow_cache="skip_odd",
+                              denoise_int8=True,
+                              decode_window=pipe.decode_window,
+                              decode_batched=(preset == "tiny"),
+                              stream_decode=pipe.stream_decode)
+    exact_ref = pipe.generate(batch, seed=42)
+    sync(exact_ref["pred_img"])
+    t0 = time.time()
+    out_f = fpipe.generate(batch, seed=42)        # compile pass
+    sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
+    print(f"[bench] fast warmup: {time.time()-t0:.1f}s (incl. compile)",
+          file=sys.stderr)
+    t0 = time.time()
+    out_f = fpipe.generate(batch, seed=42)
+    sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
+    dt_f = time.time() - t0
+    fps_fast = frames / dt_f
+    # deviation vs the exact rollout, identical seeds: 8-bit pixel units
+    dev = np.abs(np.asarray(out_f["pred_img"], np.float32)
+                 - np.asarray(exact_ref["pred_img"], np.float32)) * 127.5
+    fast_dev_p95 = float(np.percentile(dev, 95))
+    fast_dev_mean = float(dev.mean())
+    print(f"[bench] fast modes (skip_odd + int8 vae + int8 denoise): "
+          f"{dt_f:.2f}s -> {fps_fast:.2f} fps; deviation p95 "
+          f"{fast_dev_p95:.2f} / mean {fast_dev_mean:.2f} (8-bit units)",
+          file=sys.stderr)
+    del fpipe, out_f, exact_ref    # release the int8 weight copies + outputs
 
     # -- boundary optimisation: reuse_decoder_cache sustained rate + cost ----
     # (skips the overlap re-decode at every chunk boundary by carrying the
@@ -314,12 +328,13 @@ def main():
     dt_r = time.time() - t0
     sustained_fps_reuse = frames_l / dt_r
     dev_r = np.abs(np.asarray(out_r["pred_img"], np.float32)
-                   - np.asarray(out_l["pred_img"], np.float32)) * 127.5
+                   - out_l_np) * 127.5
     reuse_dev_p95 = float(np.percentile(dev_r, 95))
     reuse_dev_mean = float(dev_r.mean())
     print(f"[bench] sustained+reuse: {frames_l} frames / {dt_r:.1f}s -> "
           f"{sustained_fps_reuse:.2f} fps; deviation p95 {reuse_dev_p95:.2f} "
           f"/ mean {reuse_dev_mean:.2f} (8-bit units)", file=sys.stderr)
+    del rpipe, out_r
 
     # -- on-chip kernel parity (only meaningful where pallas is the prod path)
     attn_err = None
