@@ -69,10 +69,14 @@ def _make_tp_mesh(tp_shards: int):
 def load_pipeline(model_path: str, model_cfg: PipelineConfig,
                   random_weights: bool = False, dtype=jnp.bfloat16,
                   height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH,
-                  tp_shards: int = 1) -> InferencePipeline:
+                  tp_shards: int = 1, fast: bool = False) -> InferencePipeline:
     from .io import weights as weights_io
 
     mesh = _make_tp_mesh(tp_shards) if tp_shards > 1 else None
+    # quality-gated fast preset: flow caching + int8 top-level VAE decode +
+    # int8 MMDiT linears (measured 8.40 fps vs 6.00 exact, deviations in
+    # the bench JSON). Composable with everything else; off by default.
+    fast_kw = dict(flow_cache="skip_odd", denoise_int8=True) if fast else {}
 
     if random_weights or not os.path.isdir(model_path):
         if os.environ.get("DEEPV_TINY") == "1":   # smoke-run architecture
@@ -106,11 +110,17 @@ def load_pipeline(model_path: str, model_cfg: PipelineConfig,
             embeds = random_text_embeds(0, action_vocabulary(),
                                         joint_dim=mcfg.joint_attention_dim,
                                         pooled_dim=mcfg.pooled_projection_dim)
+        if fast:
+            from dataclasses import replace
+            vcfg = replace(vcfg, conv_impl="int8")
         return InferencePipeline(model_cfg, mcfg, vcfg, params, embeds,
                                  dtype=dtype, text_encoder=text_encoder,
-                                 mesh=mesh)
+                                 mesh=mesh, **fast_kw)
+    if fast:
+        from dataclasses import replace
+        vcfg = replace(vcfg, conv_impl="int8")
     return InferencePipeline(model_cfg, mcfg, vcfg, params, embeds, dtype=dtype,
-                             mesh=mesh)
+                             mesh=mesh, **fast_kw)
 
 
 def main(input_image: str, model_path: str, prompt_type: str = "text",
@@ -119,12 +129,13 @@ def main(input_image: str, model_path: str, prompt_type: str = "text",
          add_ply: bool = False, random_weights: bool = False,
          output_path: str = "output/generated_video.mp4",
          height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH,
-         tp_shards: int = 1, icon_assets: str = None):
+         tp_shards: int = 1, icon_assets: str = None, fast: bool = False):
     model_cfg = create_model_config(model_path, no_need_depth=no_need_depth,
                                     use_motion_prompt=(prompt_type == "action"))
 
     pipeline = load_pipeline(model_path, model_cfg, random_weights=random_weights,
-                             height=height, width=width, tp_shards=tp_shards)
+                             height=height, width=width, tp_shards=tp_shards,
+                             fast=fast)
 
     img = prepare_input_image(input_image, height, width)
     batch = {
@@ -172,6 +183,10 @@ def cli():
     p.add_argument("--icon_assets", default=None,
                    help="directory with the controller icon PNGs (default: "
                         "./assets/icons when present, else procedural glyphs)")
+    p.add_argument("--fast", action="store_true",
+                   help="quality-gated fast preset: flow caching + int8 VAE "
+                        "decode + int8 MMDiT linears (~1.4x; deviations "
+                        "measured in bench.py)")
     args = p.parse_args()
     main(**vars(args))
 

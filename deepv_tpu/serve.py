@@ -536,6 +536,10 @@ def cli():
     p.add_argument("--tp_shards", type=int, default=1,
                    help="shard inference over this many chips (TP denoise + "
                         "spatial-CP VAE); 1 = single device")
+    p.add_argument("--fast", action="store_true",
+                   help="quality-gated fast preset: flow caching + int8 VAE "
+                        "decode + int8 MMDiT linears (~1.4x; deviations "
+                        "measured in bench.py)")
     args = p.parse_args()
 
     model_cfg = create_model_config(args.model_path,
@@ -543,7 +547,7 @@ def cli():
                                     use_motion_prompt=True)
     pipe = load_pipeline(args.model_path, model_cfg,
                          random_weights=args.random_weights,
-                         tp_shards=args.tp_shards)
+                         tp_shards=args.tp_shards, fast=args.fast)
     server = SessionServer(pipe, host=args.host, port=args.port)
     port = server.start()
     print(f"[serve] listening on http://{args.host}:{port} "

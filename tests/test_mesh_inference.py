@@ -74,6 +74,29 @@ def test_mesh_rollout_matches_single_device_f64():
                                    np.asarray(ref["trans3d"]), atol=1e-5)
 
 
+def test_mesh_interactive_session_matches_single_device():
+    """The serving layer works on a mesh pipeline: an InteractiveSession on
+    a 4-way mesh steps through one chunk and matches the single-device
+    session's frames (f64). This is the multi-chip deployment surface the
+    server (`serve.py --tp_shards`) exposes."""
+    from deepv_tpu.serve import InteractiveSession
+
+    with jax.enable_x64():
+        batch = make_batch("(FN)(FN)")
+        actions = InteractiveSession.actions_from_prompt_list(
+            PipelineConfig(), list(batch["prompt"]))
+
+        def roll(mesh):
+            sess = InteractiveSession(build_pipeline(jnp.float64, mesh=mesh))
+            sess.start(batch["img"], seed=11)
+            return [np.asarray(sess.step(a)["rgb"]) for a in actions]
+
+        ref = roll(None)
+        out = roll(make_mesh((4,), ("tp",)))
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_mesh_multichunk_rollout_runs():
     """The chunk boundary (3-row CFG with retrieved history, overlap carry,
     pose chaining) executes under the mesh end-to-end."""

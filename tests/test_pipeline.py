@@ -105,6 +105,18 @@ def test_reuse_decoder_cache_rollout(pipe):
     assert np.isfinite(np.asarray(out["pred_img"], np.float32)).all()
 
 
+def test_load_pipeline_fast_preset(monkeypatch):
+    """run.py's --fast preset wires all three quality-gated modes."""
+    monkeypatch.setenv("DEEPV_TINY", "1")
+    from deepv_tpu.run import create_model_config, load_pipeline
+    cfg = create_model_config("none", use_motion_prompt=True)
+    pipe = load_pipeline("none", cfg, random_weights=True, fast=True)
+    assert pipe.flow_cache == "skip_odd"
+    assert pipe.denoise_int8
+    assert pipe.vcfg.conv_impl == "int8"
+    assert "weight_int8" in pipe.params["mmdit"]["transformer_blocks"][0]["attn"]["to_q"]
+
+
 def test_prompt_padding_rule(pipe):
     # 3 units pad up to 8 (single chunk)
     out = pipe.generate(make_batch("(FN)(FN)"), seed=3)
