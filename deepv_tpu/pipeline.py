@@ -55,7 +55,8 @@ def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
                 latents, text_embeds, text_mask, pooled, timesteps, dsigmas,
                 guidance, history_scale, history, history_mask,
                 num_rows: int, history_downsample_ratio: int, zero_depth: bool,
-                attn_impl: str, recompute: Tuple[int, ...] = ()):
+                attn_impl: str, recompute: Tuple[int, ...] = (),
+                adaptive_tau=None):
     """All Euler steps of one pyramid stage as a lax.scan
     (ref pipeline.py:467-520, one reference step == one scan iteration).
 
@@ -64,6 +65,16 @@ def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
     steps marked 0 SKIP the MMDiT forward and reuse the previous step's
     guided velocity — the Euler integrator keeps stepping with a cached
     flow. Empty/all-ones = the exact reference path.
+
+    ``adaptive_tau``: optional error bound (traced f32 scalar) for
+    DATA-DEPENDENT caching (PAPERS.md "Frequency-Aware Error-Bounded
+    Caching…"; TeaCache-style trigger): a step skips the MMDiT forward only
+    while the latent's relative L1 drift since the velocity was last
+    computed stays under tau — the staleness of the cached flow is bounded
+    instead of scheduled. Steps with ``recompute``=1 always recompute, so
+    the static mask is the floor (pass (1,0,0,…) to let tau govern all
+    non-first steps). Decided by ``lax.cond`` on a traced scalar: both
+    branches compile once, the forward's cost is paid only when taken.
     """
     conds = tuple(_zero_depth_channels(c) for c in conditions) if zero_depth else conditions
     n_steps = int(timesteps.shape[0])
@@ -93,18 +104,26 @@ def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
         return v.astype(lat.dtype)
 
     def body(carry, inp):
-        lat, v_prev = carry
+        lat, v_prev, lat_ref = carry
         t, dsig, recomp = inp
-        if caching:
+        if adaptive_tau is not None:
+            num = jnp.mean(jnp.abs(lat.astype(jnp.float32)
+                                   - lat_ref.astype(jnp.float32)))
+            den = jnp.mean(jnp.abs(lat_ref.astype(jnp.float32))) + 1e-6
+            do = jnp.logical_or(recomp > 0, num / den >= adaptive_tau)
+            v, lat_ref = jax.lax.cond(
+                do, lambda: (forward(lat, t), lat), lambda: (v_prev, lat_ref))
+        elif caching:
             v = jax.lax.cond(recomp > 0, lambda: forward(lat, t), lambda: v_prev)
         else:
             v = forward(lat, t)
         # guidance scalars are f32; keep the scan carry in the model dtype
-        return (euler_step(lat, v, dsig), v), None
+        return (euler_step(lat, v, dsig), v, lat_ref), None
 
     v0 = jnp.zeros_like(latents)
     rec = jnp.asarray(recompute, jnp.int32)
-    (out, _), _ = jax.lax.scan(body, (latents, v0), (timesteps, dsigmas, rec))
+    (out, _, _), _ = jax.lax.scan(body, (latents, v0, latents),
+                                  (timesteps, dsigmas, rec))
     return out
 
 
@@ -116,7 +135,7 @@ def _denoise_stage(mcfg: MMDiTConfig, params, conditions, frame_times, frame_val
                    guidance, history_scale, history, history_mask,
                    num_rows: int, history_downsample_ratio: int,
                    zero_depth: bool, attn_impl: str,
-                   recompute: Tuple[int, ...] = ()):
+                   recompute: Tuple[int, ...] = (), adaptive_tau=None):
     """One pyramid stage as its own program. A whole-unit fused variant was
     measured and reverted: identical steady-state throughput (compute-bound)
     but ~3x the compile time, hurting time-to-first-frame."""
@@ -124,7 +143,7 @@ def _denoise_stage(mcfg: MMDiTConfig, params, conditions, frame_times, frame_val
                        text_embeds, text_mask, pooled, timesteps, dsigmas,
                        guidance, history_scale, history, history_mask,
                        num_rows, history_downsample_ratio, zero_depth, attn_impl,
-                       recompute)
+                       recompute, adaptive_tau)
 
 
 @functools.partial(jax.jit, static_argnames=("gamma",))
@@ -305,8 +324,22 @@ class InferencePipeline:
         #: every Euler step's MMDiT forward (exact); "skip_odd" reuses the
         #: cached guided velocity on odd step indices of every stage —
         #: 2 of 5 forwards skipped (~40% denoise FLOPs) at the cost of a
-        #: first-order flow approximation on those steps
-        assert flow_cache in ("none", "skip_odd"), flow_cache
+        #: first-order flow approximation on those steps; "adaptive[:tau]"
+        #: (default tau 0.3) skips a step only while the latent's relative
+        #: L1 drift since the cached velocity was computed stays under tau —
+        #: error-bounded rather than scheduled (PAPERS.md "Frequency-Aware
+        #: Error-Bounded Caching…"), so low-motion steps are skipped and
+        #: fast-changing ones are not. tau=0 is bit-identical to "none";
+        #: one Euler step drifts the latent ~0.2-0.4 relative L1 at the
+        #: deployment schedule (scripts/probe_adaptive.py), so useful bounds
+        #: live in ~[0.2, 0.6]. tau is a TRACED scalar: changing it (even
+        #: per request, via ``pipe.adaptive_tau``) recompiles nothing.
+        self.adaptive_tau = None
+        if flow_cache.startswith("adaptive"):
+            _, _, tau_s = flow_cache.partition(":")
+            self.adaptive_tau = jnp.float32(float(tau_s) if tau_s else 0.3)
+        else:
+            assert flow_cache in ("none", "skip_odd"), flow_cache
         self.flow_cache = flow_cache
         #: optional callback(rgb_window, disp_window) fired as each decoded
         #: pixel window becomes available (requires stream_decode) — the
@@ -493,6 +526,9 @@ class InferencePipeline:
             timesteps, dsigmas = scheds[i_s]
             if self.flow_cache == "skip_odd":
                 recompute = tuple(1 - (i % 2) for i in range(int(timesteps.shape[0])))
+            elif self.adaptive_tau is not None:
+                # tau governs every step after the forced first one
+                recompute = (1,) + (0,) * (int(timesteps.shape[0]) - 1)
             else:
                 recompute = ()
             latents = _denoise_stage(
@@ -502,7 +538,7 @@ class InferencePipeline:
                 num_rows=num_rows,
                 history_downsample_ratio=cfg.history_downsample_ratio,
                 zero_depth=cfg.no_need_depth, attn_impl=self.attn_impl,
-                recompute=recompute)
+                recompute=recompute, adaptive_tau=self.adaptive_tau)
             intermed.append(latents)
         return intermed
 

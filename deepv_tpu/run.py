@@ -69,7 +69,8 @@ def _make_tp_mesh(tp_shards: int):
 def load_pipeline(model_path: str, model_cfg: PipelineConfig,
                   random_weights: bool = False, dtype=jnp.bfloat16,
                   height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH,
-                  tp_shards: int = 1, fast: bool = False) -> InferencePipeline:
+                  tp_shards: int = 1, fast: bool = False,
+                  flow_cache: str = None) -> InferencePipeline:
     from .io import weights as weights_io
 
     mesh = _make_tp_mesh(tp_shards) if tp_shards > 1 else None
@@ -77,6 +78,10 @@ def load_pipeline(model_path: str, model_cfg: PipelineConfig,
     # int8 MMDiT linears (measured 8.40 fps vs 6.00 exact, deviations in
     # the bench JSON). Composable with everything else; off by default.
     fast_kw = dict(flow_cache="skip_odd", denoise_int8=True) if fast else {}
+    if flow_cache is not None:
+        # explicit --flow_cache overrides the preset's choice: "none",
+        # "skip_odd", or "adaptive[:tau]" (error-bounded adaptive caching)
+        fast_kw["flow_cache"] = flow_cache
 
     if random_weights or not os.path.isdir(model_path):
         if os.environ.get("DEEPV_TINY") == "1":   # smoke-run architecture
@@ -129,13 +134,14 @@ def main(input_image: str, model_path: str, prompt_type: str = "text",
          add_ply: bool = False, random_weights: bool = False,
          output_path: str = "output/generated_video.mp4",
          height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH,
-         tp_shards: int = 1, icon_assets: str = None, fast: bool = False):
+         tp_shards: int = 1, icon_assets: str = None, fast: bool = False,
+         flow_cache: str = None):
     model_cfg = create_model_config(model_path, no_need_depth=no_need_depth,
                                     use_motion_prompt=(prompt_type == "action"))
 
     pipeline = load_pipeline(model_path, model_cfg, random_weights=random_weights,
                              height=height, width=width, tp_shards=tp_shards,
-                             fast=fast)
+                             fast=fast, flow_cache=flow_cache)
 
     img = prepare_input_image(input_image, height, width)
     batch = {
@@ -187,6 +193,10 @@ def cli():
                    help="quality-gated fast preset: flow caching + int8 VAE "
                         "decode + int8 MMDiT linears (~1.4x; deviations "
                         "measured in bench.py)")
+    p.add_argument("--flow_cache", default=None,
+                   help="flow-caching mode: none | skip_odd | adaptive[:tau] "
+                        "(error-bounded adaptive caching; overrides the "
+                        "--fast preset's choice)")
     args = p.parse_args()
     main(**vars(args))
 

@@ -256,6 +256,59 @@ def test_flow_cache_pipeline_runs(pipe):
     assert np.isfinite(np.asarray(out["pred_img"], np.float32)).all()
 
 
+def test_flow_cache_adaptive(pipe):
+    """Error-bounded adaptive caching: tau=0 recomputes every step (the
+    drift test `>= 0` is always true) and must be bit-identical to the exact
+    path; tau=inf never recomputes past the forced first step and must be
+    bit-identical to the static (1,0,0,0,0) mask."""
+    import jax.numpy as jnp
+    from deepv_tpu.pipeline import _denoise_stage, _pyramid_list
+
+    cfg, mcfg = pipe.cfg, pipe.mcfg
+    ds = cfg.vae_downsample
+    lh, lw = H // ds, W // ds
+    key = jax.random.PRNGKey(0)
+    clean = _pyramid_list(
+        jax.random.normal(key, (1, mcfg.in_channels, 3, lh, lw), jnp.float32), 2)
+    conds = pipe._padded_conditions(clean, 3, True, 2)
+    conditions, times, valid = conds[1]
+    pe, pm, pp = pipe._embeds_for("empty")
+    text = jnp.concatenate([pe, pe], 0)
+    mask = jnp.concatenate([pm, pm], 0)
+    pooled = jnp.concatenate([pp, pp], 0)
+    ss = pipe.schedule.stage_schedule(cfg.num_inference_steps, 1)
+    ts = jnp.asarray(ss.timesteps)
+    dsig = jnp.asarray(ss.sigmas[1:] - ss.sigmas[:-1])
+    lat = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, mcfg.in_channels, 1, lh // 2, lw // 2), jnp.float32)
+
+    def run(recompute, tau=None):
+        return _denoise_stage(
+            mcfg, pipe.params["mmdit"], conditions, times, valid, lat,
+            text, mask, pooled, ts, dsig, jnp.float32(3.5), jnp.float32(6.0),
+            None, None, num_rows=2, history_downsample_ratio=2,
+            zero_depth=False, attn_impl="ref", recompute=recompute,
+            adaptive_tau=None if tau is None else jnp.float32(tau))
+
+    floor = (1, 0, 0, 0, 0)
+    exact = run(())
+    np.testing.assert_array_equal(np.asarray(run(floor, tau=0.0)),
+                                  np.asarray(exact))
+    np.testing.assert_array_equal(np.asarray(run(floor, tau=1e30)),
+                                  np.asarray(run(floor)))
+    assert np.abs(np.asarray(run(floor)) - np.asarray(exact)).max() > 0
+
+
+def test_flow_cache_adaptive_pipeline_runs(pipe):
+    fast = InferencePipeline(pipe.cfg, pipe.mcfg, pipe.vcfg, pipe.params,
+                             pipe.text_embeds, dtype=jnp.float32,
+                             flow_cache="adaptive:0.12")
+    assert float(fast.adaptive_tau) == np.float32(0.12)
+    out = fast.generate(make_batch("(FN)(FN)"), seed=7)
+    assert out["pred_img"].shape == (1, 3, 57, H, W)
+    assert np.isfinite(np.asarray(out["pred_img"], np.float32)).all()
+
+
 def test_on_frames_streaming_callback(pipe):
     """The serving hook fires once per decoded window with pixel tensors."""
     windows = []
