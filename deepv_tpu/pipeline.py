@@ -104,26 +104,31 @@ def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
         return v.astype(lat.dtype)
 
     def body(carry, inp):
-        lat, v_prev, lat_ref = carry
+        # adaptive mode extends the carry with lat_ref (the latent at the
+        # last recompute); the exact/static programs keep their round-2 HLO
+        lat, v_prev = carry[:2]
         t, dsig, recomp = inp
         if adaptive_tau is not None:
+            lat_ref = carry[2]
             num = jnp.mean(jnp.abs(lat.astype(jnp.float32)
                                    - lat_ref.astype(jnp.float32)))
             den = jnp.mean(jnp.abs(lat_ref.astype(jnp.float32))) + 1e-6
             do = jnp.logical_or(recomp > 0, num / den >= adaptive_tau)
             v, lat_ref = jax.lax.cond(
                 do, lambda: (forward(lat, t), lat), lambda: (v_prev, lat_ref))
-        elif caching:
+            return (euler_step(lat, v, dsig), v, lat_ref), None
+        if caching:
             v = jax.lax.cond(recomp > 0, lambda: forward(lat, t), lambda: v_prev)
         else:
             v = forward(lat, t)
         # guidance scalars are f32; keep the scan carry in the model dtype
-        return (euler_step(lat, v, dsig), v, lat_ref), None
+        return (euler_step(lat, v, dsig), v), None
 
     v0 = jnp.zeros_like(latents)
     rec = jnp.asarray(recompute, jnp.int32)
-    (out, _, _), _ = jax.lax.scan(body, (latents, v0, latents),
-                                  (timesteps, dsigmas, rec))
+    carry0 = ((latents, v0, latents) if adaptive_tau is not None
+              else (latents, v0))
+    (out, *_), _ = jax.lax.scan(body, carry0, (timesteps, dsigmas, rec))
     return out
 
 

@@ -540,6 +540,10 @@ def cli():
                    help="quality-gated fast preset: flow caching + int8 VAE "
                         "decode + int8 MMDiT linears (~1.4x; deviations "
                         "measured in bench.py)")
+    p.add_argument("--flow_cache", default=None,
+                   help="flow-caching mode: none | skip_odd | adaptive[:tau] "
+                        "(error-bounded adaptive caching; overrides the "
+                        "--fast preset's choice)")
     args = p.parse_args()
 
     model_cfg = create_model_config(args.model_path,
@@ -547,7 +551,8 @@ def cli():
                                     use_motion_prompt=True)
     pipe = load_pipeline(args.model_path, model_cfg,
                          random_weights=args.random_weights,
-                         tp_shards=args.tp_shards, fast=args.fast)
+                         tp_shards=args.tp_shards, fast=args.fast,
+                         flow_cache=args.flow_cache)
     server = SessionServer(pipe, host=args.host, port=args.port)
     port = server.start()
     print(f"[serve] listening on http://{args.host}:{port} "
