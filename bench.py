@@ -7,7 +7,8 @@ with the other two metrics of record (BASELINE.md:18-19) as extra fields:
    "vs_baseline": N/4.0,
    "denoise_steps_per_s": N, "ttff_p50_s": N, "attn_parity_max_err": N,
    "sustained_fps": N, "chunk2plus_new_frames_per_s": N,
-   "gen_fps_fast": N, "fast_deviation_p95": N, "fast_deviation_mean": N}
+   "gen_fps_fast": N, "sustained_fps_fast": N,
+   "fast_deviation_p95": N, "fast_deviation_mean": N}
 
 ``sustained_fps`` is the honest steady-state autoregressive number: ONE
 continuous >=3-chunk rollout (first chunk + chunk boundaries with 3-row CFG,
@@ -250,7 +251,14 @@ def main():
     # -- sustained autoregressive rate: ONE continuous >=3-chunk rollout -----
     # (the regime BASELINE.md:17 actually defines — chunk boundaries carry
     # 3-row CFG, the 25-frame overlap re-decode, the carry re-encode and
-    # retrieved-history encode, ref pipeline.py:316-411)
+    # retrieved-history encode, ref pipeline.py:316-411). The boundary's
+    # overlap re-decode runs with EXACT cache priming (the default —
+    # pipeline._decode_latents_primed skips only the discarded-pixel share;
+    # outputs equal the full re-decode bit-for-bit,
+    # tests/test_prime_decode.py). NOTE the exact STREAMING multi-chunk
+    # rollout at full size exhausts HBM (scripts/probe_mem.py) — sustained
+    # is measured on the end-of-chunk decode path, like the single-chunk
+    # metric of record.
     sus_chunks = int(os.environ.get("BENCH_SUSTAINED_CHUNKS", "3"))
     n_unit_cfg = pcfg.max_temporal_length - pcfg.num_input_unit
     long_prompts = np.array(
@@ -309,7 +317,23 @@ def main():
           f"{dt_f:.2f}s -> {fps_fast:.2f} fps; deviation p95 "
           f"{fast_dev_p95:.2f} / mean {fast_dev_mean:.2f} (8-bit units)",
           file=sys.stderr)
-    del fpipe, out_f, exact_ref    # release the int8 weight copies + outputs
+    del out_f, exact_ref
+
+    # sustained rate with the fast modes on (same continuous >=3-chunk
+    # rollout; per-chunk deviation quantified above on identical seeds)
+    t0 = time.time()
+    out_sf = fpipe.generate(long_batch, seed=8)   # compile pass (boundaries)
+    sync(out_sf["pred_img"]); sync(out_sf["pred_disparity"])
+    print(f"[bench] sustained-fast warmup: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    out_sf = fpipe.generate(long_batch, seed=8)
+    sync(out_sf["pred_img"]); sync(out_sf["pred_disparity"])
+    dt_sf = time.time() - t0
+    sustained_fps_fast = frames_l / dt_sf
+    print(f"[bench] sustained-fast: {frames_l} frames / {dt_sf:.1f}s -> "
+          f"{sustained_fps_fast:.2f} fps", file=sys.stderr)
+    del fpipe, out_sf              # release the int8 weight copies + outputs
 
     # -- boundary optimisation: reuse_decoder_cache sustained rate + cost ----
     # (skips the overlap re-decode at every chunk boundary by carrying the
@@ -352,6 +376,7 @@ def main():
         "sustained_fps": round(sustained_fps, 3),
         "chunk2plus_new_frames_per_s": round(chunk2plus, 3),
         "gen_fps_fast": round(fps_fast, 3),
+        "sustained_fps_fast": round(sustained_fps_fast, 3),
         "fast_deviation_p95": round(fast_dev_p95, 3),
         "fast_deviation_mean": round(fast_dev_mean, 3),
         "sustained_fps_reuse": round(sustained_fps_reuse, 3),

@@ -87,6 +87,10 @@ def resnet_apply(p: dict, x: jnp.ndarray, cache, mode: str, groups: int,
                           cp_axis=cp_axis, tp_axis=tp_axis, impl=impl)
     if "conv_shortcut" in p:
         x, _ = causal_conv3d(x, p["conv_shortcut"], None, mode=mode, cp_axis=cp_axis)
+    if mode == "prime":
+        # each prime-mode conv consumed kt-1 leading context frames; align
+        # the residual with the (4-frame-shorter) main path's trailing frames
+        x = x[:, :, x.shape[2] - h.shape[2]:]
     return x + h, {"conv1": c1, "conv2": c2}
 
 
@@ -224,9 +228,14 @@ def encoder_apply(cfg: VAEConfig, p: dict, x: jnp.ndarray, cache=None,
     return moments, caches
 
 
-def decoder_apply(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache=None,
+def decoder_front(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache=None,
                   mode: str = "full", cp_axis=None, tp_axis=None):
-    """post-quant conv + CausalVaeDecoder -> sample (ref vae.py:691-751)."""
+    """post-quant conv + conv_in + mid block + all up_blocks EXCEPT the last
+    (ref vae.py:691-751 up to the final block). Returns the last block's
+    input stream and the partial cache dict (``up_blocks`` of length N-1).
+    ``decoder_apply`` composes this with ``decoder_tail``; the boundary
+    cache priming (``decoder_prime_tail``) replaces the tail with a
+    trailing-suffix pass that computes caches only."""
     groups = cfg.decoder_norm_num_groups
     impl = cfg.conv_impl
     caches = {}
@@ -238,7 +247,7 @@ def decoder_apply(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache=None,
                                             mode, groups, cp_axis, impl, tp_axis)
 
     block_caches = []
-    for i in range(len(cfg.decoder_block_out_channels)):
+    for i in range(len(cfg.decoder_block_out_channels) - 1):
         bp = p["up_blocks"][i]
         bc = _idx(_get(cache, "up_blocks"), i)
         rcaches = []
@@ -257,13 +266,95 @@ def decoder_apply(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache=None,
                 cp_axis, impl, tp_axis)
         block_caches.append(out)
     caches["up_blocks"] = block_caches
+    return x, caches
 
+
+def decoder_tail(cfg: VAEConfig, p: dict, x: jnp.ndarray, cache=None,
+                 mode: str = "full", cp_axis=None, tp_axis=None):
+    """The LAST up_block + conv_norm_out + conv_out. ``cache`` is the full
+    decoder cache dict (its last ``up_blocks`` entry and ``conv_out`` are
+    read). Returns (pixels, partial caches)."""
+    groups = cfg.decoder_norm_num_groups
+    impl = cfg.conv_impl
+    i = len(cfg.decoder_block_out_channels) - 1
+    bp = p["up_blocks"][i]
+    bc = _idx(_get(cache, "up_blocks"), i)
+    rcaches = []
+    for j in range(cfg.decoder_layers_per_block[i]):
+        x, rc = resnet_apply(bp["resnets"][j], x, _idx(_get(bc, "resnets"), j),
+                             mode, groups, cp_axis, impl, tp_axis)
+        rcaches.append(rc)
+    out = {"resnets": rcaches}
+    if cfg.decoder_spatial_up_sample[i]:
+        x, out["upsampler"] = spatial_up_apply(bp["upsampler"], x,
+                                               _get(bc, "upsampler"), mode,
+                                               cp_axis, impl, tp_axis)
+    if cfg.decoder_temporal_up_sample[i]:
+        x, out["temporal_upsampler"] = temporal_up_apply(
+            bp["temporal_upsampler"], x, _get(bc, "temporal_upsampler"), mode,
+            cp_axis, impl, tp_axis)
+
+    caches = {"up_blocks_last": out}
     x = causal_group_norm(x, groups, p["conv_norm_out"], cp_axis)
     x = silu(x)
     x, caches["conv_out"] = causal_conv3d(x, p["conv_out"], _get(cache, "conv_out"),
                                           mode=mode, cp_axis=cp_axis,
                                           tp_axis=tp_axis, impl=impl)
     return x, caches
+
+
+def decoder_apply(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache=None,
+                  mode: str = "full", cp_axis=None, tp_axis=None):
+    """post-quant conv + CausalVaeDecoder -> sample (ref vae.py:691-751)."""
+    x, caches = decoder_front(cfg, p, z, cache, mode, cp_axis, tp_axis)
+    x, tail = decoder_tail(cfg, p, x, cache, mode, cp_axis, tp_axis)
+    caches["up_blocks"] = caches["up_blocks"] + [tail["up_blocks_last"]]
+    caches["conv_out"] = tail["conv_out"]
+    return x, caches
+
+
+def decoder_prime_need(cfg: VAEConfig) -> Optional[int]:
+    """Trailing frames of the last up_block's input stream needed to rebuild
+    its (and conv_out's) caches exactly: 2 frames of temporal context per
+    kt=3 conv — ``4 * n_resnets + 2``. None when the last block contains an
+    up/temporal sampler (priming unsupported; use the full warm decode)."""
+    i = len(cfg.decoder_block_out_channels) - 1
+    if cfg.decoder_spatial_up_sample[i] or cfg.decoder_temporal_up_sample[i]:
+        return None
+    return 4 * cfg.decoder_layers_per_block[i] + 2
+
+
+def decoder_prime_tail(cfg: VAEConfig, p: dict, x: jnp.ndarray):
+    """Rebuild the last up_block's + conv_out's caches from the trailing
+    ``decoder_prime_need(cfg)`` frames of the block's input stream, without
+    computing any pixels.
+
+    Chunk-boundary use (pipeline.generate_i2v): the reference decodes the
+    whole re-encoded 25-frame overlap and DISCARDS the pixels — only the
+    decoder's conv caches carry into the new frames (ref pipeline.py:316-343
+    + vae.py:225-252). Every layer's cache is the last kt-1 frames of that
+    layer's input, so the final (most expensive, full-resolution) block only
+    ever needs the trailing ``4*n_resnets+2`` frames of its input: each
+    prime-mode conv treats its leading 2 frames as temporal context. The
+    produced caches are bit-identical to the full pass (per-frame math is
+    unchanged); conv_out itself never runs — its cache is just the last two
+    frames of its input.
+    """
+    groups = cfg.decoder_norm_num_groups
+    impl = cfg.conv_impl
+    i = len(cfg.decoder_block_out_channels) - 1
+    assert decoder_prime_need(cfg) is not None
+    assert x.shape[2] >= decoder_prime_need(cfg), \
+        "prime tail needs the full trailing window"
+    bp = p["up_blocks"][i]
+    rcaches = []
+    for j in range(cfg.decoder_layers_per_block[i]):
+        x, rc = resnet_apply(bp["resnets"][j], x, None, "prime", groups,
+                             impl=impl)
+        rcaches.append(rc)
+    # conv_out's cache is the last two frames of its input; skip the conv
+    xn = causal_group_norm(x[:, :, -2:], groups, p["conv_norm_out"])
+    return {"up_blocks_last": {"resnets": rcaches}, "conv_out": silu(xn)}
 
 
 # ---------------------------------------------------------------------------
@@ -310,8 +401,54 @@ def _dec_window(cfg, p, z, cache, mode):
     return decoder_apply(cfg, p, z, cache, mode)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mode"))
+def _dec_front_window(cfg, p, z, cache, mode):
+    return decoder_front(cfg, p, z, cache, mode)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _dec_prime_tail(cfg, p, x):
+    return decoder_prime_tail(cfg, p, x)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _dec_prime_warm(cfg, p, z):
+    """The whole chunk-boundary warm as ONE program: per-frame windows
+    through the decoder front, then the trailing-suffix prime tail — caches
+    only, no overlap pixels. One dispatch instead of one per window: each
+    window call flattens the ~200-leaf param+cache pytree through the host,
+    real milliseconds on a 1-core box, and XLA frees the unneeded window
+    outputs instead of Python holding them between dispatches."""
+    need = decoder_prime_need(cfg)
+    t_up = 2 ** sum(cfg.decoder_temporal_up_sample)
+    total = 1 + (z.shape[2] - 1) * t_up
+    assert need is not None and total >= need
+    buf = None
+    cache = None
+    pos = 0
+    for fi in range(z.shape[2]):
+        x, cache = decoder_front(cfg, p, z[:, :, fi:fi + 1], cache,
+                                 "init" if fi == 0 else "cont")
+        # keep only the part of this window inside the needed trailing suffix
+        end = pos + x.shape[2]
+        lo = total - need
+        if end > lo:
+            part = x if pos >= lo else x[:, :, lo - pos:]
+            buf = part if buf is None else jnp.concatenate([buf, part], axis=2)
+        pos = end
+    tail = decoder_prime_tail(cfg, p, buf)
+    cache["up_blocks"] = cache["up_blocks"] + [tail["up_blocks_last"]]
+    cache["conv_out"] = tail["conv_out"]
+    return cache
+
+
 def chunk_encode(cfg: VAEConfig, p: dict, x: jnp.ndarray, window_size: int = 16):
     """Temporal-chunked encode (ref vae.py:865-883); cont windows as one scan."""
+    t_down = 2 ** sum(cfg.encoder_temporal_down_sample)
+    assert window_size % t_down == 0, (
+        f"encode window_size={window_size} must be a multiple of the "
+        f"temporal downsample factor {t_down} — misaligned windows shift "
+        f"the stride-2 cache phase and change the latent count")
     sizes = _split_windows(x.shape[2], window_size)
     m0, cache = _enc_window(cfg, p, x[:, :, :sizes[0]], None, "init")
     outs = [m0]
@@ -348,6 +485,28 @@ def chunk_decode(cfg: VAEConfig, p: dict, z: jnp.ndarray, window_size: int = 2):
         tail, cache = _dec_scan(cfg, p, stacked, cache)
         outs.extend(tail[i] for i in range(n_full))
         fid += n_full * window_size
+    if fid < z.shape[2]:
+        d, cache = _dec_window(cfg, p, z[:, :, fid:], cache, "cont")
+        outs.append(d)
+    return jnp.concatenate(outs, axis=2)
+
+
+def chunk_decode_cont(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache,
+                      window_size: int = 2):
+    """Chunked decode continuing from a carried conv-cache pytree: all
+    windows run in ``cont`` mode (equal-sized ones as the shared
+    ``_dec_scan`` program). With ``cache`` from ``_dec_prime_warm`` this
+    decodes a chunk's NEW latents bit-identically to ``chunk_decode`` over
+    the full (overlap + new) stream — chunked == full is exact."""
+    outs = []
+    n_full = z.shape[2] // window_size
+    fid = 0
+    if n_full:
+        stacked = jnp.stack([z[:, :, i * window_size:(i + 1) * window_size]
+                             for i in range(n_full)])
+        tail, cache = _dec_scan(cfg, p, stacked, cache)
+        outs.extend(tail[i] for i in range(n_full))
+        fid = n_full * window_size
     if fid < z.shape[2]:
         d, cache = _dec_window(cfg, p, z[:, :, fid:], cache, "cont")
         outs.append(d)

@@ -16,6 +16,13 @@ Modes (static):
   - ``cont``: later chunk; prepends cached frames instead of padding
     (ref vae.py:240-249): stride 1 / k=3 uses both cached frames, temporal
     stride 2 / k=3 uses only the last one.
+  - ``prime``: cache-rebuild mode — the input's own LEADING ``kt-1`` frames
+    act as the temporal context (identical to ``cont`` with
+    ``cache=x[:,:,:kt-1]`` on the rest), so the output is ``kt-1`` frames
+    shorter than the input. Used by the decoder's chunk-boundary cache
+    priming (models/vae.py): when only the trailing caches of a stream are
+    needed, each conv consumes a suffix of its input instead of the whole
+    stream, and the produced caches are bit-identical to a full pass.
 """
 
 from __future__ import annotations
@@ -139,6 +146,20 @@ def causal_conv3d(
             return conv3d_int8(xp, params,
                                padding=((0, 0), (hp, hp), (wp, wp))), new_cache
         y = conv3d(xp, params, stride=stride, padding=((0, 0), (hp, hp), (wp, wp)))
+        return y, new_cache
+
+    if mode == "prime":
+        # leading kt-1 frames are context: y covers frames [kt-1:], the
+        # returned cache equals a full pass's (last kt-1 input frames)
+        assert stride == (1, 1, 1), "prime mode supports stride-1 convs only"
+        assert x.shape[2] > time_pad, "prime mode needs > kt-1 input frames"
+        new_cache = x[:, :, -2:]
+        if igemm:
+            return conv3d_igemm(x, params, time_pad=0), new_cache
+        if int8:
+            return conv3d_int8(x, params,
+                               padding=((0, 0), (hp, hp), (wp, wp))), new_cache
+        y = conv3d(x, params, stride=stride, padding=((0, 0), (hp, hp), (wp, wp)))
         return y, new_cache
 
     if mode == "cont":

@@ -35,7 +35,9 @@ import numpy as np
 from .config import MMDiTConfig, PipelineConfig, VAEConfig
 from .models.mmdit import mmdit_forward
 from .models.scheduler import FlowMatchSchedule, euler_step
-from .models.vae import _dec_window, gaussian_sample, vae_decode, vae_encode
+from .models.vae import (_dec_prime_warm, _dec_window, chunk_decode_cont,
+                         decoder_prime_need, gaussian_sample, vae_decode,
+                         vae_encode)
 from .ops.block_noise import sample_block_noise
 from .ops.resample import down2x_bilinear, up2x_nearest
 from .raymap import raymap_from_camera_batch, raymap_to_camera
@@ -268,7 +270,8 @@ class InferencePipeline:
                  stream_decode: bool = True, text_encoder=None,
                  flow_cache: str = "none", mesh=None, mesh_axis: str = "tp",
                  reuse_decoder_cache: bool = False,
-                 denoise_int8: bool = False):
+                 denoise_int8: bool = False,
+                 prime_decoder_cache: bool = True):
         self.cfg = cfg
         self.mcfg = mmdit_cfg
         self.vcfg = vae_cfg
@@ -362,6 +365,24 @@ class InferencePipeline:
         self.reuse_decoder_cache = reuse_decoder_cache
         if reuse_decoder_cache:
             assert stream_decode, "reuse_decoder_cache requires stream_decode"
+        #: EXACT chunk-boundary cache priming (default on): the reference
+        #: decodes the whole re-encoded 25-frame overlap and discards the
+        #: pixels — only the decoder conv caches carry into the new frames
+        #: (ref pipeline.py:316-343). Priming rebuilds the final
+        #: (full-resolution, most expensive) decoder block's caches from just
+        #: the trailing ``4*n_resnets+2`` stream frames it actually needs
+        #: (models/vae.py::decoder_prime_tail) — bit-identical caches, so
+        #: every emitted pixel equals the full overlap re-decode. Applies to
+        #: both decode modes: streaming (the warm decode) and end-of-chunk
+        #: (the overlap share of the chunked decode). Auto disabled when the
+        #: config/mesh/tiling doesn't support it.
+        self._prime_need = None
+        if (prime_decoder_cache and mesh is None and not use_tiling
+                and not reuse_decoder_cache):
+            need = decoder_prime_need(vae_cfg)
+            co_w = params["vae"]["decoder"]["conv_out"]["weight"]
+            if need is not None and co_w.shape[2] == 3:
+                self._prime_need = need
         self.text_encoder = text_encoder
         self._embed_memo: Dict[str, Tuple] = {}
         self.schedule = FlowMatchSchedule(cfg.scheduler)
@@ -471,15 +492,66 @@ class InferencePipeline:
         return _dec_window(self.vcfg, self.params["vae"]["decoder"],
                            z.astype(self.dtype), cache, mode)
 
-    def _decode_latents(self, lat: jnp.ndarray) -> jnp.ndarray:
-        """Un-normalise + chunked decode (ref pipeline.py:703-715)."""
+    def _unnorm_latents(self, lat: jnp.ndarray) -> jnp.ndarray:
+        """Latent un-normalisation: image stats on the first frame, video
+        stats on the rest (ref pipeline.py:703-709)."""
         c = self.cfg
         if lat.shape[2] == 1:
-            lat = lat / c.vae_scale_factor + c.vae_shift_factor
-        else:
-            first = lat[:, :, :1] / c.vae_scale_factor + c.vae_shift_factor
-            rest = lat[:, :, 1:] / c.vae_video_scale_factor + c.vae_video_shift_factor
-            lat = jnp.concatenate([first, rest], axis=2)
+            return lat / c.vae_scale_factor + c.vae_shift_factor
+        first = lat[:, :, :1] / c.vae_scale_factor + c.vae_shift_factor
+        rest = lat[:, :, 1:] / c.vae_video_scale_factor + c.vae_video_shift_factor
+        return jnp.concatenate([first, rest], axis=2)
+
+    def _prime_warm_stream(self, z: jnp.ndarray) -> dict:
+        """Exact decoder caches for one carried latent stream, computing no
+        overlap pixels: full per-frame windows through the decoder FRONT
+        (conv_in/mid/all-but-last blocks, identical values and caches to the
+        normal warm decode), then the trailing-suffix prime pass for the
+        final full-resolution block (models/vae.py::decoder_prime_tail).
+        One fused program — one dispatch per stream instead of per window."""
+        return _dec_prime_warm(self.vcfg, self.params["vae"]["decoder"], z)
+
+    def _prime_warm(self, lat38: jnp.ndarray):
+        """Primed (rgb, disparity) decoder caches for the chunk-boundary
+        carry latents; replaces the full overlap re-decode exactly. The two
+        stream programs are drained one at a time: each holds a transient
+        suffix buffer + a fresh ~1.5 GB cache generation, and letting them
+        queue doubles the boundary's HBM high-water mark."""
+        li, ld = jnp.split(lat38[:, :-self.cfg.raymap_dim], 2, axis=1)
+        rgb_cache = self._prime_warm_stream(
+            self._unnorm_latents(li).astype(self.dtype))
+        force_completion(jax.tree.leaves(rgb_cache)[0])
+        disp_cache = self._prime_warm_stream(
+            self._unnorm_latents(ld).astype(self.dtype))
+        force_completion(jax.tree.leaves(disp_cache)[0])
+        return rgb_cache, disp_cache
+
+    def _prime_eligible(self, lat38: jnp.ndarray) -> bool:
+        """Priming needs the warm stream to cover the tail's trailing window."""
+        if self._prime_need is None:
+            return False
+        t_up = 2 ** sum(self.vcfg.decoder_temporal_up_sample)
+        stream_frames = 1 + (lat38.shape[2] - 1) * t_up
+        return stream_frames >= self._prime_need
+
+    def _decode_latents_primed(self, lat: jnp.ndarray, n_overlap: int) -> jnp.ndarray:
+        """Chunk-boundary decode: prime the decoder caches on the first
+        ``n_overlap`` (carried-overlap) latents WITHOUT computing their
+        pixels (the reference decodes and discards them,
+        ref pipeline.py:316-343), then cont-decode only the NEW latents.
+        Bit-identical to ``_decode_latents``'s trailing frames (the causal
+        chunked decode equals the full decode; tests/test_prime_decode.py).
+        Returns only the new frames — the caller restores the previous
+        chunk's raw tail for bookkeeping."""
+        lat = self._unnorm_latents(lat).astype(self.dtype)
+        dec = self.params["vae"]["decoder"]
+        cache = _dec_prime_warm(self.vcfg, dec, lat[:, :, :n_overlap])
+        return chunk_decode_cont(self.vcfg, dec, lat[:, :, n_overlap:], cache,
+                                 self.decode_window)
+
+    def _decode_latents(self, lat: jnp.ndarray) -> jnp.ndarray:
+        """Un-normalise + chunked decode (ref pipeline.py:703-715)."""
+        lat = self._unnorm_latents(lat)
         if self.mesh is not None:
             from .parallel.cp import cp_vae_decode_chunked
             return cp_vae_decode_chunked(self.vcfg, self.params["vae"],
@@ -625,6 +697,14 @@ class InferencePipeline:
                 # overlap re-decode; only the NEW units will be decoded
                 rgb_cache, disp_cache = dec_state
                 stream_first = False
+            elif self._prime_eligible(input_image_latent):
+                # EXACT cache priming: rebuild the caches the overlap
+                # re-decode exists to produce, skipping the discarded-pixel
+                # compute of the final full-resolution block (~20% of the
+                # warm cost). No overlap pixel windows are emitted; the
+                # caller restores the previous chunk's tail for bookkeeping
+                rgb_cache, disp_cache = self._prime_warm(input_image_latent)
+                stream_first = False
             else:
                 # warm the decoder caches on the carried-over latent frames
                 # ONE frame at a time: a single t=4 window peaks ~4x the
@@ -691,6 +771,21 @@ class InferencePipeline:
                 # frames were decoded incrementally during the unit loop
                 image = jnp.concatenate(rgb_frames, axis=2)
                 disparity = jnp.concatenate(disp_frames, axis=2)
+            elif (not firstframe_mask
+                  and self._prime_eligible(input_image_latent)):
+                # chunk boundary: the overlap's decoded pixels are discarded
+                # by _accumulate_chunk — prime the caches on the overlap
+                # latents and decode only the NEW frames (exact;
+                # tests/test_prime_decode.py). The caller restores the
+                # previous chunk's raw tail for bookkeeping
+                n_ov = input_image_latent.shape[2]
+                if self.decode_batched:
+                    both = self._decode_latents_primed(
+                        jnp.concatenate([lat_img, lat_disp], axis=0), n_ov)
+                    image, disparity = both[:1], both[1:2]
+                else:
+                    image = self._decode_latents_primed(lat_img, n_ov)
+                    disparity = self._decode_latents_primed(lat_disp, n_ov)
             elif self.decode_batched:
                 both = self._decode_latents(jnp.concatenate([lat_img, lat_disp], axis=0))
                 image, disparity = both[:1], both[1:2]
@@ -701,7 +796,12 @@ class InferencePipeline:
                 force_completion(disparity)
         if cfg.no_need_depth:
             disparity = jnp.zeros_like(disparity)
-        return image, disparity, trans3d, trans2d, (rgb_cache, disp_cache)
+        # only the reuse mode consumes the decoder caches across chunks;
+        # returning them otherwise pins ~3 GB (two full-size cache pytrees)
+        # in the caller for the whole next chunk
+        dec_state = ((rgb_cache, disp_cache)
+                     if self.reuse_decoder_cache else None)
+        return image, disparity, trans3d, trans2d, dec_state
 
     # -- full rollout (ref pipeline.py:264-424) -------------------------------
 
@@ -734,6 +834,7 @@ class InferencePipeline:
         scale_factor = jnp.float32(1.0)
         start_unit = 0
         reuse = self.reuse_decoder_cache
+        keep_tail = reuse or self._prime_need is not None
         dec_state = tail_rgb = tail_disp = None
 
         for now_iter in range(total_iters):
@@ -750,11 +851,14 @@ class InferencePipeline:
                 video_guidance_scale=video_guidance_scale,
                 dec_state=(dec_state if reuse else None))
 
-            if reuse:
-                if now_iter > 0:
-                    # the overlap was not re-decoded; restore the previous
-                    # chunk's raw tail so the bookkeeping sees the full
-                    # 57-frame layout (same recipe as serve._finish_chunk)
+            if keep_tail:
+                if now_iter > 0 and images.shape[2] != cfg.actual_frame:
+                    # the overlap was not re-decoded (cache reuse or exact
+                    # priming); restore the previous chunk's raw tail so the
+                    # bookkeeping sees the full 57-frame layout (same recipe
+                    # as serve._finish_chunk). These frames are dropped by
+                    # _accumulate_chunk and never feed the carry, so the
+                    # primed rollout's OUTPUT equals the full re-decode's
                     images = jnp.concatenate([tail_rgb, images], axis=2)
                     disparitys = jnp.concatenate([tail_disp, disparitys], axis=2)
                 tail_rgb = images[:, :, -n_img:]

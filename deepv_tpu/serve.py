@@ -183,10 +183,18 @@ class InteractiveSession:
             self._rgb_cache = self._disp_cache = None
             self._stream_first = True
             if not fm:
-                # per-frame windows: one t=4 window peaks ~4x the steady
-                # activations and can OOM HBM (see pipeline.generate_i2v)
-                for fi in range(self.generated[0].shape[2]):
-                    self._stream_push(self.generated[0][:, :, fi:fi + 1])
+                if p._prime_eligible(self.generated[0]):
+                    # exact cache priming: skip the discarded-pixel share of
+                    # the overlap re-decode (pipeline._prime_warm); the
+                    # emitted frames are bit-identical either way
+                    self._rgb_cache, self._disp_cache = p._prime_warm(
+                        self.generated[0])
+                    self._stream_first = False
+                else:
+                    # per-frame windows: one t=4 window peaks ~4x the steady
+                    # activations and can OOM HBM (see pipeline.generate_i2v)
+                    for fi in range(self.generated[0].shape[2]):
+                        self._stream_push(self.generated[0][:, :, fi:fi + 1])
 
     def _stream_push(self, lat38):
         p, cfg = self.pipe, self.pipe.cfg
@@ -269,9 +277,10 @@ class InteractiveSession:
                                             vae_downsample=ds)
         images = jnp.concatenate(self._rgb_frames, axis=2)
         disparitys = jnp.concatenate(self._disp_frames, axis=2)
-        if self.reuse_decoder_cache and self.now_iter > 0:
-            # the overlap was not re-decoded; restore the previous chunk's
-            # tail so the bookkeeping sees the full 57-frame layout
+        if self.now_iter > 0 and images.shape[2] != cfg.actual_frame:
+            # the overlap was not re-decoded (cache reuse or exact priming);
+            # restore the previous chunk's tail so the bookkeeping sees the
+            # full 57-frame layout
             images = jnp.concatenate([self._tail_rgb, images], axis=2)
             disparitys = jnp.concatenate([self._tail_disp, disparitys], axis=2)
         n_img = cfg.num_input_image
