@@ -360,6 +360,32 @@ def main():
           f"/ mean {reuse_dev_mean:.2f} (8-bit units)", file=sys.stderr)
     del rpipe, out_r
 
+    # composed boundary mode: reuse_decoder_cache + carry_latents (skip the
+    # overlap re-decode AND the rgb carry re-encode; disparity still
+    # re-encodes — pipeline.py carry_latents doc). Shares rpipe's compiled
+    # programs (carry only drops one of the two serial per-row encodes)
+    bpipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
+                              decode_window=pipe.decode_window,
+                              stream_decode=True, reuse_decoder_cache=True,
+                              carry_latents=True)
+    t0 = time.time()
+    out_b = bpipe.generate(long_batch, seed=8)    # warm (programs shared)
+    sync(out_b["pred_img"]); sync(out_b["pred_disparity"])
+    print(f"[bench] boundary warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    out_b = bpipe.generate(long_batch, seed=8)
+    sync(out_b["pred_img"]); sync(out_b["pred_disparity"])
+    dt_b = time.time() - t0
+    sustained_fps_boundary = frames_l / dt_b
+    dev_b = np.abs(np.asarray(out_b["pred_img"], np.float32) - out_l_np) * 127.5
+    boundary_dev_p95 = float(np.percentile(dev_b, 95))
+    boundary_dev_mean = float(dev_b.mean())
+    print(f"[bench] sustained+reuse+carry: {frames_l} frames / {dt_b:.1f}s -> "
+          f"{sustained_fps_boundary:.2f} fps; deviation p95 "
+          f"{boundary_dev_p95:.2f} / mean {boundary_dev_mean:.2f} "
+          f"(8-bit units)", file=sys.stderr)
+    del bpipe, out_b
+
     # -- on-chip kernel parity (only meaningful where pallas is the prod path)
     attn_err = None
     if jax.default_backend() == "tpu" or pipe.attn_impl == "pallas":
@@ -382,6 +408,9 @@ def main():
         "sustained_fps_reuse": round(sustained_fps_reuse, 3),
         "reuse_deviation_p95": round(reuse_dev_p95, 3),
         "reuse_deviation_mean": round(reuse_dev_mean, 3),
+        "sustained_fps_boundary": round(sustained_fps_boundary, 3),
+        "boundary_deviation_p95": round(boundary_dev_p95, 3),
+        "boundary_deviation_mean": round(boundary_dev_mean, 3),
     }))
 
 

@@ -45,11 +45,11 @@ def quantize_conv_weights(params: dict) -> dict:
     return {**params, "weight_int8": w8, "weight_scale": sw}
 
 
-def quantize_vae_decoder(decoder_params: dict) -> dict:
-    """Precompute int8 weights/scales for every 3x3x3 conv in a decoder
-    pytree (InferencePipeline does this once at construction when
-    ``conv_impl="int8"``; layers the H>=MIN_H dispatch never routes to int8
-    just carry unused extra entries)."""
+def quantize_vae_convs(tree_params: dict) -> dict:
+    """Precompute int8 weights/scales for every 3x3x3 conv in a VAE
+    encoder/decoder pytree (InferencePipeline does this once at construction
+    when ``conv_impl="int8"``; layers the H>=MIN_H dispatch never routes to
+    int8 just carry unused extra entries)."""
     def walk(node):
         if isinstance(node, dict):
             out = {k: walk(v) for k, v in node.items()}
@@ -61,7 +61,10 @@ def quantize_vae_decoder(decoder_params: dict) -> dict:
         if isinstance(node, list):
             return [walk(v) for v in node]
         return node
-    return walk(decoder_params)
+    return walk(tree_params)
+
+
+quantize_vae_decoder = quantize_vae_convs  # legacy name (pre round-3)
 
 
 def conv3d_int8(x: jnp.ndarray, params: dict, *,

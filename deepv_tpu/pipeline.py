@@ -271,7 +271,8 @@ class InferencePipeline:
                  flow_cache: str = "none", mesh=None, mesh_axis: str = "tp",
                  reuse_decoder_cache: bool = False,
                  denoise_int8: bool = False,
-                 prime_decoder_cache: bool = True):
+                 prime_decoder_cache: bool = True,
+                 carry_latents: bool = False):
         self.cfg = cfg
         self.mcfg = mmdit_cfg
         self.vcfg = vae_cfg
@@ -299,11 +300,16 @@ class InferencePipeline:
                                             NamedSharding(mesh, P()))}
         if vae_cfg.conv_impl == "int8":
             # precompute int8 weights once instead of re-quantising traced
-            # weight arguments on every decode call (ops/conv_int8.py)
-            from .ops.conv_int8 import quantize_vae_decoder
+            # weight arguments on every call (ops/conv_int8.py). Both halves:
+            # the decoder is the decode fast path, the encoder serves the
+            # chunk-boundary carry re-encode (its 384x512 level is also
+            # int8-eligible)
+            from .ops.conv_int8 import quantize_vae_convs
             params = {**params, "vae": {**params["vae"],
-                                        "decoder": quantize_vae_decoder(
-                                            params["vae"]["decoder"])}}
+                                        "decoder": quantize_vae_convs(
+                                            params["vae"]["decoder"]),
+                                        "encoder": quantize_vae_convs(
+                                            params["vae"]["encoder"])}}
         #: quality-gated W8A8 fast mode for the denoise stage (default off):
         #: the per-block D^2 linears run on the MXU's 2x int8 rate
         #: (ops/linear_int8.py); AdaLN/embedders/proj_out stay exact.
@@ -365,6 +371,21 @@ class InferencePipeline:
         self.reuse_decoder_cache = reuse_decoder_cache
         if reuse_decoder_cache:
             assert stream_decode, "reuse_decoder_cache requires stream_decode"
+        #: quality-gated boundary fast mode (default off): carry the chunk's
+        #: own generated RGB latents into the next chunk's conditioning
+        #: instead of re-encoding the uint8-roundtripped carry pixels
+        #: (ref pipeline.py:338-343 re-encodes; that costs ~0.7 s of the
+        #: ~1.5 s boundary encode budget at full size). The carried frames
+        #: are the trailing latent units — content-equivalent to the
+        #: re-encode except that (a) the reference's fresh causal stream
+        #: starts at the overlap's first PIXEL frame while the carried first
+        #: latent summarises its full 8-frame unit, and (b) the uint8 +
+        #: decode->encode roundtrip is skipped, so outputs deviate
+        #: (measured end-to-end in bench.py alongside reuse_deviation_*).
+        #: Disparity is ALWAYS re-encoded: its carry passes through the
+        #: per-chunk rescale + sqrt encoding in pixel space
+        #: (ref pipeline.py:344-352), which has no latent-space equivalent.
+        self.carry_latents = carry_latents
         #: EXACT chunk-boundary cache priming (default on): the reference
         #: decodes the whole re-encoded 25-frame overlap and discards the
         #: pixels — only the decoder conv caches carry into the new frames
@@ -491,6 +512,21 @@ class InferencePipeline:
                                  self.mesh, axis=self.mesh_axis)
         return _dec_window(self.vcfg, self.params["vae"]["decoder"],
                            z.astype(self.dtype), cache, mode)
+
+    def _carry_rgb_latent(self, lat_img: jnp.ndarray) -> jnp.ndarray:
+        """carry_latents mode: the next chunk's rgb conditioning latents,
+        taken from this chunk's generated (normalised) rgb latents. The
+        re-encode they replace treats the overlap's first pixel frame as a
+        fresh image (image normalisation stats, ref pipeline.py:570-571),
+        so frame 0 is renormalised video -> image stats."""
+        cfg = self.cfg
+        n_lat = 1 + (cfg.num_input_image - 1) // cfg.vae_downsample
+        cl = lat_img[:, :, -n_lat:]
+        f0 = ((cl[:, :, :1].astype(jnp.float32) / cfg.vae_video_scale_factor
+               + cfg.vae_video_shift_factor
+               - cfg.vae_shift_factor) * cfg.vae_scale_factor)
+        return jnp.concatenate([f0.astype(cl.dtype), cl[:, :, 1:]],
+                               axis=2).astype(self.dtype)
 
     def _unnorm_latents(self, lat: jnp.ndarray) -> jnp.ndarray:
         """Latent un-normalisation: image stats on the first frame, video
@@ -626,7 +662,8 @@ class InferencePipeline:
                      input_history, guidance_scale: float = 4.0,
                      video_guidance_scale: float = 3.5,
                      use_linear_guidance: bool = False, alpha: float = 1.0,
-                     min_guidance_scale: float = 1.1, dec_state=None):
+                     min_guidance_scale: float = 1.1, dec_state=None,
+                     carry_rgb_latent=None):
         cfg, mcfg = self.cfg, self.mcfg
         firstframe_mask = input_disparity is None
         num_rows = 2 if input_history is None else 3
@@ -648,7 +685,16 @@ class InferencePipeline:
 
         # encode conditioning pixels; batch rgb+disparity when both present
         with self.timer.phase("vae_encode"):
-            if input_disparity is not None:
+            if carry_rgb_latent is not None:
+                # carry_latents boundary fast mode: the rgb conditioning
+                # latent is carried from the previous chunk's generated
+                # latents (frame 0 already renormalised to image stats);
+                # only disparity pays the re-encode
+                assert input_disparity is not None
+                img_lat = carry_rgb_latent.astype(self.dtype)
+                disp_lat = self._norm_image_latent(
+                    self._encode_pixels(input_disparity, k_enc))
+            elif input_disparity is not None:
                 stacked = jnp.concatenate([input_image, input_disparity], axis=0)
                 enc = self._encode_pixels(stacked, k_enc)
                 img_lat, disp_lat = enc[:1], enc[1:2]
@@ -801,7 +847,8 @@ class InferencePipeline:
         # in the caller for the whole next chunk
         dec_state = ((rgb_cache, disp_cache)
                      if self.reuse_decoder_cache else None)
-        return image, disparity, trans3d, trans2d, dec_state
+        carry_lat = self._carry_rgb_latent(lat_img) if self.carry_latents else None
+        return image, disparity, trans3d, trans2d, dec_state, carry_lat
 
     # -- full rollout (ref pipeline.py:264-424) -------------------------------
 
@@ -835,7 +882,7 @@ class InferencePipeline:
         start_unit = 0
         reuse = self.reuse_decoder_cache
         keep_tail = reuse or self._prime_need is not None
-        dec_state = tail_rgb = tail_disp = None
+        dec_state = tail_rgb = tail_disp = carry_lat = None
 
         for now_iter in range(total_iters):
             motion_prompt = [prompts[0]] + prompts[start_unit + 1: start_unit + actual_unit]
@@ -844,12 +891,14 @@ class InferencePipeline:
                 input_raymap = (input_raymap - self.raymap_mean) / self.raymap_std
 
             key, k_chunk = jax.random.split(key)
-            images, disparitys, trans3d, trans2d, dec_state = self.generate_i2v(
+            (images, disparitys, trans3d, trans2d, dec_state,
+             carry_lat) = self.generate_i2v(
                 k_chunk, motion_prompt, use_motion,
                 input_image, input_disparity, input_raymap, input_history,
                 guidance_scale=guidance_scale,
                 video_guidance_scale=video_guidance_scale,
-                dec_state=(dec_state if reuse else None))
+                dec_state=(dec_state if reuse else None),
+                carry_rgb_latent=carry_lat)
 
             if keep_tail:
                 if now_iter > 0 and images.shape[2] != cfg.actual_frame:

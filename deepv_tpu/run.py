@@ -70,7 +70,8 @@ def load_pipeline(model_path: str, model_cfg: PipelineConfig,
                   random_weights: bool = False, dtype=jnp.bfloat16,
                   height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH,
                   tp_shards: int = 1, fast: bool = False,
-                  flow_cache: str = None) -> InferencePipeline:
+                  flow_cache: str = None,
+                  carry_latents: bool = False) -> InferencePipeline:
     from .io import weights as weights_io
 
     mesh = _make_tp_mesh(tp_shards) if tp_shards > 1 else None
@@ -78,6 +79,10 @@ def load_pipeline(model_path: str, model_cfg: PipelineConfig,
     # int8 MMDiT linears (measured 8.40 fps vs 6.00 exact, deviations in
     # the bench JSON). Composable with everything else; off by default.
     fast_kw = dict(flow_cache="skip_odd", denoise_int8=True) if fast else {}
+    if carry_latents:
+        # quality-gated boundary fast mode: carry the generated rgb latents
+        # across chunk boundaries instead of re-encoding the carry pixels
+        fast_kw["carry_latents"] = True
     if flow_cache is not None:
         # explicit --flow_cache overrides the preset's choice: "none",
         # "skip_odd", or "adaptive[:tau]" (error-bounded adaptive caching)
@@ -135,13 +140,14 @@ def main(input_image: str, model_path: str, prompt_type: str = "text",
          output_path: str = "output/generated_video.mp4",
          height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH,
          tp_shards: int = 1, icon_assets: str = None, fast: bool = False,
-         flow_cache: str = None):
+         flow_cache: str = None, carry_latents: bool = False):
     model_cfg = create_model_config(model_path, no_need_depth=no_need_depth,
                                     use_motion_prompt=(prompt_type == "action"))
 
     pipeline = load_pipeline(model_path, model_cfg, random_weights=random_weights,
                              height=height, width=width, tp_shards=tp_shards,
-                             fast=fast, flow_cache=flow_cache)
+                             fast=fast, flow_cache=flow_cache,
+                             carry_latents=carry_latents)
 
     img = prepare_input_image(input_image, height, width)
     batch = {
@@ -193,6 +199,10 @@ def cli():
                    help="quality-gated fast preset: flow caching + int8 VAE "
                         "decode + int8 MMDiT linears (~1.4x; deviations "
                         "measured in bench.py)")
+    p.add_argument("--carry_latents", action="store_true",
+                   help="quality-gated boundary fast mode: carry generated "
+                        "rgb latents across chunk boundaries instead of "
+                        "re-encoding the carry pixels")
     p.add_argument("--flow_cache", default=None,
                    help="flow-caching mode: none | skip_odd | adaptive[:tau] "
                         "(error-bounded adaptive caching; overrides the "

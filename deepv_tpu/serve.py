@@ -126,6 +126,7 @@ class InteractiveSession:
         self.started = True
         self.frames_out = 0
         self.steps_done = 0
+        self._carry_lat = None
         self._begin_chunk()
 
     def _begin_chunk(self) -> None:
@@ -153,7 +154,14 @@ class InteractiveSession:
                        ).reshape(bb, cc, tt, hh // 2, ww // 2)
         self.chunk_latents = latents
 
-        if self.input_disparity is not None:
+        if self._carry_lat is not None:
+            # carry_latents boundary fast mode (see InferencePipeline):
+            # rgb conditioning carried from the previous chunk's latents,
+            # only disparity re-encodes
+            img_lat = self._carry_lat.astype(p.dtype)
+            disp_lat = p._norm_image_latent(
+                p._encode_pixels(self.input_disparity, k_enc))
+        elif self.input_disparity is not None:
             stacked = jnp.concatenate([self.input_image, self.input_disparity], axis=0)
             enc = p._encode_pixels(stacked, k_enc)
             img_lat, disp_lat = enc[:1], enc[1:2]
@@ -270,6 +278,9 @@ class InteractiveSession:
         gen = jnp.concatenate(generated, axis=2)
 
         n_ray = cfg.raymap_dim
+        if p.carry_latents:
+            lat_img = jnp.split(gen[:, :-n_ray], 2, axis=1)[0]
+            self._carry_lat = p._carry_rgb_latent(lat_img)
         gen_raymap = gen[:, -n_ray:].astype(jnp.float32) * p.raymap_std + p.raymap_mean
         trans3d, trans2d = raymap_to_camera(gen_raymap[:, :, 1:],
                                             append_first_reference=True,
@@ -549,6 +560,10 @@ def cli():
                    help="quality-gated fast preset: flow caching + int8 VAE "
                         "decode + int8 MMDiT linears (~1.4x; deviations "
                         "measured in bench.py)")
+    p.add_argument("--carry_latents", action="store_true",
+                   help="quality-gated boundary fast mode: carry generated "
+                        "rgb latents across chunk boundaries instead of "
+                        "re-encoding the carry pixels")
     p.add_argument("--flow_cache", default=None,
                    help="flow-caching mode: none | skip_odd | adaptive[:tau] "
                         "(error-bounded adaptive caching; overrides the "
@@ -561,7 +576,8 @@ def cli():
     pipe = load_pipeline(args.model_path, model_cfg,
                          random_weights=args.random_weights,
                          tp_shards=args.tp_shards, fast=args.fast,
-                         flow_cache=args.flow_cache)
+                         flow_cache=args.flow_cache,
+                         carry_latents=args.carry_latents)
     server = SessionServer(pipe, host=args.host, port=args.port)
     port = server.start()
     print(f"[serve] listening on http://{args.host}:{port} "

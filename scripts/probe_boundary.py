@@ -137,9 +137,9 @@ def main():
         return gaussian_sample(m, key)
 
     variants = [("serial w8 (current)", lambda: serial(8)),
-                ("serial w12", lambda: serial(12)),
+                ("serial w16", lambda: serial(16)),
                 ("batched w8", lambda: batched(8)),
-                ("batched w12", lambda: batched(12))]
+                ("batched w16", lambda: batched(16))]
     ref = None
     for name, fn in variants:
         try:

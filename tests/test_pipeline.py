@@ -105,6 +105,35 @@ def test_reuse_decoder_cache_rollout(pipe):
     assert np.isfinite(np.asarray(out["pred_img"], np.float32)).all()
 
 
+def test_carry_latents_rollout(pipe):
+    """carry_latents=True skips the rgb carry re-encode at chunk boundaries
+    (the rgb conditioning latent comes from the chunk's own generated
+    latents): same layout, chunk 1 bit-identical, chunk>=2 deviating through
+    the conditioning provenance. Disparity must still re-encode (its carry
+    is rescaled + sqrt-encoded in pixel space, ref pipeline.py:344-352)."""
+    prompt = "(FN)(FN)(FN)(FN)(FN)(FN)(FN)(fRL)(SR)(BL)(FN)"
+    ref = pipe.generate(make_batch(prompt), seed=2)
+    cpipe = InferencePipeline(pipe.cfg, pipe.mcfg, pipe.vcfg, pipe.params,
+                              pipe.text_embeds, dtype=jnp.float32,
+                              carry_latents=True)
+    enc_rows = []
+    orig = cpipe._encode_pixels
+    cpipe._encode_pixels = lambda x, k: enc_rows.append(x.shape[0]) or orig(x, k)
+    out = cpipe.generate(make_batch(prompt), seed=2)
+    assert out["pred_img"].shape == ref["pred_img"].shape == (1, 3, 89, H, W)
+    # chunk 1 has no carry: bit-identical
+    np.testing.assert_array_equal(np.asarray(out["pred_img"][:, :, :57]),
+                                  np.asarray(ref["pred_img"][:, :, :57]))
+    # chunk 2 conditions on carried latents instead of the re-encode: the
+    # rollout deviates (if it didn't, the mode would be dead code)
+    assert float(np.abs(np.asarray(out["pred_img"][:, :, 57:], np.float32)
+                        - np.asarray(ref["pred_img"][:, :, 57:], np.float32)).max()) > 0
+    assert np.isfinite(np.asarray(out["pred_img"], np.float32)).all()
+    # encode calls: chunk-1 image (rows=1), history (rows=2), chunk-2
+    # disparity ONLY (rows=1) — the exact path's chunk-2 call has rows=2
+    assert enc_rows == [1, 2, 1], enc_rows
+
+
 def test_load_pipeline_fast_preset(monkeypatch):
     """run.py's --fast preset wires all three quality-gated modes."""
     monkeypatch.setenv("DEEPV_TINY", "1")

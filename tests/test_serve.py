@@ -119,6 +119,33 @@ def test_session_reuse_decoder_cache(pipe):
     assert np.isfinite(np.asarray(got["pred_img"], np.float32)).all()
 
 
+def test_session_carry_latents_matches_generate():
+    """A session on a carry_latents pipe reproduces generate() on the same
+    pipe bit-for-bit — the serving boundary implements the mode identically
+    (the mode's deviation vs the exact path is pinned in
+    test_pipeline.test_carry_latents_rollout)."""
+    import jax.numpy as jnp
+    from deepv_tpu.pipeline import InferencePipeline
+    base = tiny_pipeline()
+    cpipe = InferencePipeline(base.cfg, base.mcfg, base.vcfg, base.params,
+                              base.text_embeds, dtype=jnp.float32,
+                              carry_latents=True)
+    prompt = "(FN)(FN)(FN)(FN)(FN)(FN)(FN)(fRL)(SR)(BL)(FN)"
+    batch = make_batch(prompt)
+    ref = cpipe.generate(batch, seed=41)
+    actions = InteractiveSession.actions_from_prompt_list(
+        cpipe.cfg, list(batch["prompt"]))
+    sess = InteractiveSession(cpipe)
+    sess.start(batch["img"], seed=41)
+    for a in actions:
+        sess.step(a)
+    got = sess.result()
+    np.testing.assert_array_equal(np.asarray(got["pred_img"]),
+                                  np.asarray(ref["pred_img"]))
+    np.testing.assert_array_equal(np.asarray(got["trans3d"]),
+                                  np.asarray(ref["trans3d"]))
+
+
 def test_session_no_need_depth_step_parity():
     """With no_need_depth, each step's disparity equals the rollout's
     post-mapped constant (0.25/0.95), keeping step-stream == result()."""
