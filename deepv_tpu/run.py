@@ -71,10 +71,19 @@ def load_pipeline(model_path: str, model_cfg: PipelineConfig,
                   height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH,
                   tp_shards: int = 1, fast: bool = False,
                   flow_cache: str = None,
-                  carry_latents: bool = False) -> InferencePipeline:
+                  carry_latents: bool = False,
+                  device=None) -> InferencePipeline:
+    """``device``: pin this pipeline's params (and hence every jitted
+    program) to one jax.Device — the multi-stream serving mode (one
+    independent pipeline per chip, ``deepv_tpu.serve --streams N``).
+    Mutually exclusive with ``tp_shards>1`` (one pipeline sharded ACROSS
+    chips)."""
     from .io import weights as weights_io
 
     mesh = _make_tp_mesh(tp_shards) if tp_shards > 1 else None
+    if device is not None and mesh is not None:
+        raise ValueError("device= (one pipeline per chip) and tp_shards>1 "
+                         "(one pipeline across chips) are mutually exclusive")
     # quality-gated fast preset: flow caching + int8 top-level VAE decode +
     # int8 MMDiT linears (measured 8.40 fps vs 6.00 exact, deviations in
     # the bench JSON). Composable with everything else; off by default.
@@ -123,12 +132,16 @@ def load_pipeline(model_path: str, model_cfg: PipelineConfig,
         if fast:
             from dataclasses import replace
             vcfg = replace(vcfg, conv_impl="int8")
+        if device is not None:
+            params = jax.device_put(params, device)
         return InferencePipeline(model_cfg, mcfg, vcfg, params, embeds,
                                  dtype=dtype, text_encoder=text_encoder,
                                  mesh=mesh, **fast_kw)
     if fast:
         from dataclasses import replace
         vcfg = replace(vcfg, conv_impl="int8")
+    if device is not None:
+        params = jax.device_put(params, device)
     return InferencePipeline(model_cfg, mcfg, vcfg, params, embeds, dtype=dtype,
                              mesh=mesh, **fast_kw)
 

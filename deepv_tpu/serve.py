@@ -29,6 +29,7 @@ import base64
 import json
 import threading
 import time
+import traceback
 import uuid
 from typing import Dict, List, Optional
 
@@ -378,15 +379,28 @@ class SessionServer:
                       -> {"rgb": npb64, "disparity": npb64,
                           "chunk_complete": bool, "frames_total": int}
       POST /close   {"session_id": ...} -> {"closed": true}
-      GET  /metrics -> {"sessions": n, "frames_out": n, "steps": n}
+      GET  /metrics -> {"sessions": n, "frames_out": n, "steps": n,
+                        "streams": n, "stream_sessions": [n, ...], ...}
 
-    One device lock serializes all session compute (the chip runs one
-    program at a time anyway); HTTP threads only queue requests. The
-    sessions *registry* has its own fast lock so ``/metrics`` (and
-    ``/close``) answer in microseconds even while a multi-second
-    chunk-boundary step holds the device — metrics counters are monotonic
-    ints mutated only by the single step holding the device lock, so
-    reading them without it is safe (worst case: one step stale).
+    ``pipe`` may be ONE pipeline or a LIST of pipelines, one per chip
+    (multi-stream serving). Batching requests onto one chip does not raise
+    aggregate throughput — the MMDiT rows are MXU-saturated and batch-2 VAE
+    decode is measurably slower than two serial calls (scripts/
+    probe_batch.py, probe_decode.py) — so request throughput scales by
+    running one independent stream per chip: build each pipeline with its
+    params ``jax.device_put`` to a distinct device (``run.load_pipeline(…,
+    device=…)``) and every jitted program runs on that chip. Sessions are
+    assigned to the least-loaded stream at creation and pinned there.
+
+    One device lock PER STREAM serializes that chip's compute (a chip runs
+    one program at a time anyway); steps on different streams run
+    concurrently (jax dispatch releases the GIL while the device executes).
+    HTTP threads only queue requests. The sessions *registry* has its own
+    fast lock so ``/metrics`` (and ``/close``) answer in microseconds even
+    while a multi-second chunk-boundary step holds a device — metrics
+    counters are monotonic ints mutated only by the single step holding
+    that stream's device lock, so reading them without it is safe (worst
+    case: one step stale).
     Served sessions keep a bounded rollout history (``history_limit_chunks``,
     default 4) so long-lived sessions cannot exhaust device memory; clients
     consume frames from /step responses. Sessions idle longer than
@@ -401,13 +415,18 @@ class SessionServer:
                  session_ttl_s: Optional[float] = 900.0):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-        self.pipe = pipe
+        self.pipes: List[InferencePipeline] = (
+            list(pipe) if isinstance(pipe, (list, tuple)) else [pipe])
+        self.pipe = self.pipes[0]               # single-stream compat
         self.max_sessions = max_sessions
         self.history_limit_chunks = history_limit_chunks
         self.session_ttl_s = session_ttl_s
         self.sessions: Dict[str, InteractiveSession] = {}
         self._last_used: Dict[str, float] = {}
-        self._device_lock = threading.Lock()    # serializes device work
+        self._stream_of: Dict[str, int] = {}    # session id -> stream index
+        # one lock per stream: each serializes ITS chip's work; streams on
+        # distinct chips step concurrently
+        self._device_locks = [threading.Lock() for _ in self.pipes]
         self._registry_lock = threading.Lock()  # sessions dict; never held
         #                                         across device work
         self.evicted_total = 0
@@ -425,6 +444,7 @@ class SessionServer:
                 for sid in dead:
                     outer.sessions.pop(sid, None)
                     outer._last_used.pop(sid, None)
+                    outer._stream_of.pop(sid, None)
                 outer.evicted_total += len(dead)
 
         class Handler(BaseHTTPRequestHandler):
@@ -442,17 +462,22 @@ class SessionServer:
             def do_GET(self):
                 if self.path == "/metrics":
                     evict_expired()
-                    with outer._registry_lock:
-                        sessions = list(outer.sessions.values())
-                    # counters read WITHOUT the device lock: /metrics must
+                    # counters read WITHOUT any device lock: /metrics must
                     # answer during a running step (tests/test_serve.py pins
                     # the latency)
+                    with outer._registry_lock:
+                        sessions = list(outer.sessions.values())
+                        per_stream = [0] * len(outer.pipes)
+                        for i in outer._stream_of.values():
+                            per_stream[i] += 1
                     self._json(200, {
                         "sessions": len(sessions),
                         "frames_out": sum(s.frames_out for s in sessions),
                         "steps": sum(s.steps_done for s in sessions),
                         "evicted_total": outer.evicted_total,
                         "session_ttl_s": outer.session_ttl_s,
+                        "streams": len(outer.pipes),
+                        "stream_sessions": per_stream,
                     })
                 else:
                     self._json(404, {"error": "unknown path"})
@@ -464,21 +489,27 @@ class SessionServer:
                     evict_expired()
                     if self.path == "/session":
                         sid = uuid.uuid4().hex[:12]
-                        sess = InteractiveSession(
-                            outer.pipe,
-                            history_limit_chunks=outer.history_limit_chunks)
                         with outer._registry_lock:
                             if len(outer.sessions) >= outer.max_sessions:
                                 self._json(409, {
                                     "error": f"max_sessions={outer.max_sessions} "
                                              "held; POST /close one first"})
                                 return
+                            # pin the session to the least-loaded stream
+                            per_stream = [0] * len(outer.pipes)
+                            for i in outer._stream_of.values():
+                                per_stream[i] += 1
+                            stream = per_stream.index(min(per_stream))
+                            sess = InteractiveSession(
+                                outer.pipes[stream],
+                                history_limit_chunks=outer.history_limit_chunks)
                             # reserve the slot before the (slow) start so a
                             # concurrent /session cannot oversubscribe
                             outer.sessions[sid] = sess
                             outer._last_used[sid] = time.time()
+                            outer._stream_of[sid] = stream
                         try:
-                            with outer._device_lock:
+                            with outer._device_locks[stream]:
                                 sess.start(_b64_np(req["image"]),
                                            seed=int(req.get("seed", 666)),
                                            prompt_type=req.get("prompt_type", "action"))
@@ -486,6 +517,7 @@ class SessionServer:
                             with outer._registry_lock:
                                 outer.sessions.pop(sid, None)
                                 outer._last_used.pop(sid, None)
+                                outer._stream_of.pop(sid, None)
                             raise
                         self._json(200, {"session_id": sid})
                     elif self.path == "/close":
@@ -493,16 +525,18 @@ class SessionServer:
                             sid = req.get("session_id", "")
                             closed = outer.sessions.pop(sid, None) is not None
                             outer._last_used.pop(sid, None)
+                            outer._stream_of.pop(sid, None)
                         self._json(200 if closed else 404,
                                    {"closed": closed})
                     elif self.path == "/step":
                         sid = req.get("session_id", "")
                         with outer._registry_lock:
                             sess = outer.sessions.get(sid)
+                            stream = outer._stream_of.get(sid, 0)
                         if sess is None:
                             self._json(404, {"error": "unknown session"})
                             return
-                        with outer._device_lock:
+                        with outer._device_locks[stream]:
                             # re-check: a /close racing the queue wait must
                             # not resurrect the session's device state
                             with outer._registry_lock:
@@ -521,7 +555,10 @@ class SessionServer:
                             "frames_total": int(out["frames_total"])})
                     else:
                         self._json(404, {"error": "unknown path"})
-                except Exception as e:   # surface errors to the client
+                except Exception as e:   # surface errors to the client;
+                    # keep the traceback server-side (the client body only
+                    # carries the summary line)
+                    traceback.print_exc()
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
@@ -556,6 +593,11 @@ def cli():
     p.add_argument("--tp_shards", type=int, default=1,
                    help="shard inference over this many chips (TP denoise + "
                         "spatial-CP VAE); 1 = single device")
+    p.add_argument("--streams", type=int, default=1,
+                   help="run this many INDEPENDENT pipelines, one per chip "
+                        "(multi-stream serving — request throughput scales "
+                        "with chips; latency per session does not). "
+                        "Mutually exclusive with --tp_shards")
     p.add_argument("--fast", action="store_true",
                    help="quality-gated fast preset: flow caching + int8 VAE "
                         "decode + int8 MMDiT linears (~1.4x; deviations "
@@ -573,11 +615,27 @@ def cli():
     model_cfg = create_model_config(args.model_path,
                                     no_need_depth=args.no_need_depth,
                                     use_motion_prompt=True)
-    pipe = load_pipeline(args.model_path, model_cfg,
-                         random_weights=args.random_weights,
-                         tp_shards=args.tp_shards, fast=args.fast,
-                         flow_cache=args.flow_cache,
-                         carry_latents=args.carry_latents)
+    if args.streams > 1:
+        if args.tp_shards > 1:
+            raise SystemExit("--streams and --tp_shards are mutually "
+                             "exclusive (per-chip pipelines vs one pipeline "
+                             "sharded across chips)")
+        devices = jax.devices()
+        if args.streams > len(devices):
+            raise SystemExit(f"--streams {args.streams} > "
+                             f"{len(devices)} visible devices")
+        pipe = [load_pipeline(args.model_path, model_cfg,
+                              random_weights=args.random_weights,
+                              fast=args.fast, flow_cache=args.flow_cache,
+                              carry_latents=args.carry_latents,
+                              device=d)
+                for d in devices[:args.streams]]
+    else:
+        pipe = load_pipeline(args.model_path, model_cfg,
+                             random_weights=args.random_weights,
+                             tp_shards=args.tp_shards, fast=args.fast,
+                             flow_cache=args.flow_cache,
+                             carry_latents=args.carry_latents)
     server = SessionServer(pipe, host=args.host, port=args.port)
     port = server.start()
     print(f"[serve] listening on http://{args.host}:{port} "

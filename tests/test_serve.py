@@ -236,6 +236,83 @@ def test_http_server_roundtrip(pipe):
         server.stop()
 
 
+def test_multi_stream_server(pipe):
+    """Multi-stream serving: a server over two pipelines pinned to distinct
+    devices assigns sessions to the least-loaded stream, steps them
+    concurrently (per-stream locks), and each stream's math matches the
+    single-pipeline session (within f16 wire precision — see below)."""
+    import threading
+    from deepv_tpu.pipeline import InferencePipeline
+
+    devs = jax.devices("cpu")[:2]
+    assert len(devs) == 2, "conftest provides 8 virtual CPU devices"
+
+    def pinned(dev):
+        return InferencePipeline(pipe.cfg, pipe.mcfg, pipe.vcfg,
+                                 jax.device_put(pipe.params, dev),
+                                 pipe.text_embeds, dtype=jnp.float32)
+
+    server = SessionServer([pinned(devs[0]), pinned(devs[1])], port=0)
+    # params really live on distinct chips
+    for i, d in enumerate(devs):
+        leaf = jax.tree.leaves(server.pipes[i].params)[0]
+        assert set(leaf.devices()) == {d}
+
+    batch = make_batch()
+    action = InteractiveSession.actions_from_prompt_list(
+        pipe.cfg, list(batch["prompt"]))[0]
+    ref = InteractiveSession(pipe)
+    ref.start(batch["img"], seed=31)
+    ref_rgb = np.asarray(ref.step(action)["rgb"])
+
+    port = server.start()
+    try:
+        img = np.asarray(batch["img"])
+        sids = []
+        for _ in range(2):
+            conn = http.client.HTTPConnection("127.0.0.1", port)
+            conn.request("POST", "/session",
+                         json.dumps({"image": _np_b64(img), "seed": 31}),
+                         {"Content-Type": "application/json"})
+            sids.append(json.loads(conn.getresponse().read())["session_id"])
+            conn.close()
+        conn = http.client.HTTPConnection("127.0.0.1", port)
+        conn.request("GET", "/metrics")
+        m = json.loads(conn.getresponse().read())
+        conn.close()
+        assert m["streams"] == 2 and m["stream_sessions"] == [1, 1]
+
+        # step both sessions from two threads at once: per-stream locks must
+        # admit them concurrently (and both must match the reference step)
+        outs = {}
+
+        def hit(sid):
+            c = http.client.HTTPConnection("127.0.0.1", port)
+            c.request("POST", "/step",
+                      json.dumps({"session_id": sid, "action": action}),
+                      {"Content-Type": "application/json"})
+            outs[sid] = json.loads(c.getresponse().read())
+            c.close()
+
+        ts = [threading.Thread(target=hit, args=(s,)) for s in sids]
+        [t.start() for t in ts]
+        [t.join(timeout=600) for t in ts]
+        from deepv_tpu.serve import _b64_np
+        want = np.asarray(ref_rgb, np.float16).astype(np.float32)
+        for sid in sids:
+            # tolerance, not bitwise: XLA CPU executables compiled for
+            # different virtual devices differ at the last f32 ulp even
+            # run sequentially (measured: same jitted chain on cpu1 vs
+            # cpu0 flips ~2.5% of f16-rounded elements by 1 ulp).
+            # Single-stream bitwise parity is pinned by
+            # test_http_server_roundtrip; this pins every stream's math
+            # to the reference within the f16 wire precision.
+            np.testing.assert_allclose(_b64_np(outs[sid]["rgb"]), want,
+                                       atol=5e-4, rtol=0)
+    finally:
+        server.stop()
+
+
 def test_session_history_limit_preserves_retrieval_phase(pipe):
     """When truncation actually drops chunks, the ::ds history subsample
     must stay aligned to unit-final frames (head chunk trimmed to
@@ -267,7 +344,7 @@ def test_metrics_not_blocked_by_device_lock(pipe):
     port = server.start()
     try:
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
-        with server._device_lock:          # a 5s chunk-boundary step
+        with server._device_locks[0]:      # a 5s chunk-boundary step
             t0 = time.perf_counter()
             conn.request("GET", "/metrics")
             m = json.loads(conn.getresponse().read())
