@@ -43,6 +43,7 @@ Env knobs:
 """
 
 import functools
+import gc
 import json
 import os
 import sys
@@ -298,131 +299,166 @@ def main():
     wall_i = time.time() - t0
     ph = pipe.timer.stats()
     sus_denoise_s = ph.get("denoise_unit", {}).get("total_s", float("nan"))
+    sus_prime_s = ph.get("prime", {}).get("total_s", 0.0)
     sus_decode_s = (ph.get("vae_decode", {}).get("total_s", 0.0)
                     + ph.get("stream_decode", {}).get("total_s", 0.0))
+    if not pipe.stream_decode:
+        # end-of-chunk mode nests "prime" inside "vae_decode" — un-double-count
+        sus_decode_s -= sus_prime_s
     sus_encode_s = ph.get("vae_encode", {}).get("total_s", float("nan"))
-    sus_other_s = wall_i - sus_denoise_s - sus_decode_s - sus_encode_s
+    sus_other_s = (wall_i - sus_denoise_s - sus_decode_s - sus_prime_s
+                   - sus_encode_s)
     print(f"[bench] sustained itemisation ({wall_i:.1f}s synced wall): "
           f"denoise {sus_denoise_s:.2f}s, decode {sus_decode_s:.2f}s, "
-          f"encode {sus_encode_s:.2f}s, other {sus_other_s:.2f}s",
-          file=sys.stderr)
+          f"prime {sus_prime_s:.2f}s, encode {sus_encode_s:.2f}s, "
+          f"other {sus_other_s:.2f}s", file=sys.stderr)
     pipe.timer = PhaseTimer(sync=False)
     del out_i
+    gc.collect()
 
     # -- quality-gated fast modes: rate AND measured deviation ---------------
     # (the full composition: flow caching + int8 top-level VAE decode + int8
     # MMDiT linears — measured individually in docs/ARCHITECTURE.md)
     from dataclasses import replace as _dc_replace
     vcfg_fast = _dc_replace(vcfg, conv_impl="int8")
-    fpipe = InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
-                              dtype=dtype, flow_cache="skip_odd",
-                              denoise_int8=True,
-                              decode_window=pipe.decode_window,
-                              decode_batched=(preset == "tiny"),
-                              stream_decode=pipe.stream_decode)
-    exact_ref = pipe.generate(batch, seed=42)
-    sync(exact_ref["pred_img"])
-    t0 = time.time()
-    out_f = fpipe.generate(batch, seed=42)        # compile pass
-    sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
-    print(f"[bench] fast warmup: {time.time()-t0:.1f}s (incl. compile)",
-          file=sys.stderr)
-    t0 = time.time()
-    out_f = fpipe.generate(batch, seed=42)
-    sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
-    dt_f = time.time() - t0
-    fps_fast = frames / dt_f
-    # deviation vs the exact rollout, identical seeds: 8-bit pixel units
-    dev = np.abs(np.asarray(out_f["pred_img"], np.float32)
-                 - np.asarray(exact_ref["pred_img"], np.float32)) * 127.5
-    fast_dev_p95 = float(np.percentile(dev, 95))
-    fast_dev_mean = float(dev.mean())
-    print(f"[bench] fast modes (skip_odd + int8 vae + int8 denoise): "
-          f"{dt_f:.2f}s -> {fps_fast:.2f} fps; deviation p95 "
-          f"{fast_dev_p95:.2f} / mean {fast_dev_mean:.2f} (8-bit units)",
-          file=sys.stderr)
-    del out_f, exact_ref
+    fps_fast = fast_dev_p95 = fast_dev_mean = sustained_fps_fast = None
+    try:
+        fpipe = InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
+                                  dtype=dtype, flow_cache="skip_odd",
+                                  denoise_int8=True,
+                                  decode_window=pipe.decode_window,
+                                  decode_batched=(preset == "tiny"),
+                                  stream_decode=pipe.stream_decode)
+        exact_ref = pipe.generate(batch, seed=42)
+        sync(exact_ref["pred_img"])
+        t0 = time.time()
+        out_f = fpipe.generate(batch, seed=42)        # compile pass
+        sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
+        print(f"[bench] fast warmup: {time.time()-t0:.1f}s (incl. compile)",
+              file=sys.stderr)
+        t0 = time.time()
+        out_f = fpipe.generate(batch, seed=42)
+        sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
+        dt_f = time.time() - t0
+        fps_fast = frames / dt_f
+        # deviation vs the exact rollout, identical seeds: 8-bit pixel units
+        dev = np.abs(np.asarray(out_f["pred_img"], np.float32)
+                     - np.asarray(exact_ref["pred_img"], np.float32)) * 127.5
+        fast_dev_p95 = float(np.percentile(dev, 95))
+        fast_dev_mean = float(dev.mean())
+        print(f"[bench] fast modes (skip_odd + int8 vae + int8 denoise): "
+              f"{dt_f:.2f}s -> {fps_fast:.2f} fps; deviation p95 "
+              f"{fast_dev_p95:.2f} / mean {fast_dev_mean:.2f} (8-bit units)",
+              file=sys.stderr)
+        del out_f, exact_ref
 
-    # sustained rate with the fast modes on (same continuous >=3-chunk
-    # rollout; per-chunk deviation quantified above on identical seeds)
-    t0 = time.time()
-    out_sf = fpipe.generate(long_batch, seed=8)   # compile pass (boundaries)
-    sync(out_sf["pred_img"]); sync(out_sf["pred_disparity"])
-    print(f"[bench] sustained-fast warmup: {time.time()-t0:.1f}s",
-          file=sys.stderr)
-    t0 = time.time()
-    out_sf = fpipe.generate(long_batch, seed=8)
-    sync(out_sf["pred_img"]); sync(out_sf["pred_disparity"])
-    dt_sf = time.time() - t0
-    sustained_fps_fast = frames_l / dt_sf
-    print(f"[bench] sustained-fast: {frames_l} frames / {dt_sf:.1f}s -> "
-          f"{sustained_fps_fast:.2f} fps", file=sys.stderr)
-    del fpipe, out_sf              # release the int8 weight copies + outputs
+        # sustained rate with the fast modes on (same continuous >=3-chunk
+        # rollout; per-chunk deviation quantified above on identical seeds)
+        t0 = time.time()
+        out_sf = fpipe.generate(long_batch, seed=8)   # compile pass (boundaries)
+        sync(out_sf["pred_img"]); sync(out_sf["pred_disparity"])
+        print(f"[bench] sustained-fast warmup: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        out_sf = fpipe.generate(long_batch, seed=8)
+        sync(out_sf["pred_img"]); sync(out_sf["pred_disparity"])
+        dt_sf = time.time() - t0
+        sustained_fps_fast = frames_l / dt_sf
+        print(f"[bench] sustained-fast: {frames_l} frames / {dt_sf:.1f}s -> "
+              f"{sustained_fps_fast:.2f} fps", file=sys.stderr)
+        del fpipe, out_sf          # release the int8 weight copies + outputs
+    except Exception as e:
+        print(f"[bench] fast section failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    gc.collect()
 
     # -- boundary optimisation: reuse_decoder_cache sustained rate + cost ----
     # (skips the overlap re-decode at every chunk boundary by carrying the
-    # streaming decoder's conv caches; deviation vs the exact sustained
-    # rollout on the same seed quantifies the fidelity cost)
-    rpipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
-                              decode_window=pipe.decode_window,
-                              stream_decode=True, reuse_decoder_cache=True)
-    t0 = time.time()
-    out_r = rpipe.generate(long_batch, seed=8)    # compile pass (shared shapes)
-    sync(out_r["pred_img"]); sync(out_r["pred_disparity"])
-    print(f"[bench] reuse warmup: {time.time()-t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    out_r = rpipe.generate(long_batch, seed=8)
-    sync(out_r["pred_img"]); sync(out_r["pred_disparity"])
-    dt_r = time.time() - t0
-    sustained_fps_reuse = frames_l / dt_r
-    dev_r = np.abs(np.asarray(out_r["pred_img"], np.float32)
-                   - out_l_np) * 127.5
-    reuse_dev_p95 = float(np.percentile(dev_r, 95))
-    reuse_dev_mean = float(dev_r.mean())
-    print(f"[bench] sustained+reuse: {frames_l} frames / {dt_r:.1f}s -> "
-          f"{sustained_fps_reuse:.2f} fps; deviation p95 {reuse_dev_p95:.2f} "
-          f"/ mean {reuse_dev_mean:.2f} (8-bit units)", file=sys.stderr)
-    del rpipe, out_r
+    # decoder's conv caches; deviation vs the exact sustained rollout on the
+    # same seed quantifies the fidelity cost). Runs in END-OF-CHUNK decode
+    # mode: the pixels equal the streaming reuse mode's, every decode
+    # program is already compiled by the exact pipe, and the streaming
+    # rollout's extra HBM pressure (scripts/probe_mem.py) is avoided —
+    # reuse never builds a second cache generation at the boundary.
+    # Guarded like every optional section below: the bench must emit its
+    # JSON line even if a section exhausts HBM (metrics become null).
+    sustained_fps_reuse = reuse_dev_p95 = reuse_dev_mean = None
+    try:
+        rpipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
+                                  decode_window=pipe.decode_window,
+                                  decode_batched=(preset == "tiny"),
+                                  stream_decode=False, reuse_decoder_cache=True)
+        t0 = time.time()
+        out_r = rpipe.generate(long_batch, seed=8)   # compile pass (shared shapes)
+        sync(out_r["pred_img"]); sync(out_r["pred_disparity"])
+        print(f"[bench] reuse warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        out_r = rpipe.generate(long_batch, seed=8)
+        sync(out_r["pred_img"]); sync(out_r["pred_disparity"])
+        dt_r = time.time() - t0
+        sustained_fps_reuse = frames_l / dt_r
+        dev_r = np.abs(np.asarray(out_r["pred_img"], np.float32)
+                       - out_l_np) * 127.5
+        reuse_dev_p95 = float(np.percentile(dev_r, 95))
+        reuse_dev_mean = float(dev_r.mean())
+        print(f"[bench] sustained+reuse: {frames_l} frames / {dt_r:.1f}s -> "
+              f"{sustained_fps_reuse:.2f} fps; deviation p95 {reuse_dev_p95:.2f} "
+              f"/ mean {reuse_dev_mean:.2f} (8-bit units)", file=sys.stderr)
+        del rpipe, out_r
+    except Exception as e:
+        print(f"[bench] reuse section failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    gc.collect()
 
     # composed boundary mode: reuse_decoder_cache + carry_latents (skip the
     # overlap re-decode AND the rgb carry re-encode; disparity still
     # re-encodes — pipeline.py carry_latents doc). Shares rpipe's compiled
     # programs (carry only drops one of the two serial per-row encodes)
-    bpipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
-                              decode_window=pipe.decode_window,
-                              stream_decode=True, reuse_decoder_cache=True,
-                              carry_latents=True)
-    t0 = time.time()
-    out_b = bpipe.generate(long_batch, seed=8)    # warm (programs shared)
-    sync(out_b["pred_img"]); sync(out_b["pred_disparity"])
-    print(f"[bench] boundary warmup: {time.time()-t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    out_b = bpipe.generate(long_batch, seed=8)
-    sync(out_b["pred_img"]); sync(out_b["pred_disparity"])
-    dt_b = time.time() - t0
-    sustained_fps_boundary = frames_l / dt_b
-    dev_b = np.abs(np.asarray(out_b["pred_img"], np.float32) - out_l_np) * 127.5
-    boundary_dev_p95 = float(np.percentile(dev_b, 95))
-    boundary_dev_mean = float(dev_b.mean())
-    print(f"[bench] sustained+reuse+carry: {frames_l} frames / {dt_b:.1f}s -> "
-          f"{sustained_fps_boundary:.2f} fps; deviation p95 "
-          f"{boundary_dev_p95:.2f} / mean {boundary_dev_mean:.2f} "
-          f"(8-bit units)", file=sys.stderr)
-    del bpipe, out_b
+    sustained_fps_boundary = boundary_dev_p95 = boundary_dev_mean = None
+    try:
+        bpipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
+                                  decode_window=pipe.decode_window,
+                                  decode_batched=(preset == "tiny"),
+                                  stream_decode=False, reuse_decoder_cache=True,
+                                  carry_latents=True)
+        t0 = time.time()
+        out_b = bpipe.generate(long_batch, seed=8)    # warm (programs shared)
+        sync(out_b["pred_img"]); sync(out_b["pred_disparity"])
+        print(f"[bench] boundary warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        out_b = bpipe.generate(long_batch, seed=8)
+        sync(out_b["pred_img"]); sync(out_b["pred_disparity"])
+        dt_b = time.time() - t0
+        sustained_fps_boundary = frames_l / dt_b
+        dev_b = np.abs(np.asarray(out_b["pred_img"], np.float32) - out_l_np) * 127.5
+        boundary_dev_p95 = float(np.percentile(dev_b, 95))
+        boundary_dev_mean = float(dev_b.mean())
+        print(f"[bench] sustained+reuse+carry: {frames_l} frames / {dt_b:.1f}s -> "
+              f"{sustained_fps_boundary:.2f} fps; deviation p95 "
+              f"{boundary_dev_p95:.2f} / mean {boundary_dev_mean:.2f} "
+              f"(8-bit units)", file=sys.stderr)
+        del bpipe, out_b
+    except Exception as e:
+        print(f"[bench] boundary section failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    gc.collect()
 
     # -- max-throughput composition: every quality-gated mode together -------
     # (flow caching + int8 VAE + int8 denoise + reuse_decoder_cache +
     # carry_latents — the "as fast as one chip goes" serving preset).
-    # Guarded: this composition holds the int8 weight copies AND streaming
-    # decode state; if a future config pushes it over HBM the bench must
-    # still emit its JSON line (metrics become null).
+    # End-of-chunk decode like the reuse section: same pixels as streaming
+    # reuse, lower HBM high-water mark. Guarded: this composition holds the
+    # int8 weight copies AND the carried cache pytrees; if a future config
+    # pushes it over HBM the bench must still emit its JSON line (metrics
+    # become null).
     sustained_fps_allfast = allfast_dev_p95 = allfast_dev_mean = None
     try:
         mpipe = InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
                                   dtype=dtype, flow_cache="skip_odd",
                                   denoise_int8=True,
                                   decode_window=pipe.decode_window,
-                                  stream_decode=True,
+                                  decode_batched=(preset == "tiny"),
+                                  stream_decode=False,
                                   reuse_decoder_cache=True,
                                   carry_latents=True)
         t0 = time.time()
@@ -452,6 +488,7 @@ def main():
     if jax.default_backend() == "tpu" or pipe.attn_impl == "pallas":
         attn_err = attention_parity_on_chip(mcfg, H, W)
 
+    rnd = lambda x, n=3: None if x is None else round(x, n)
     print(json.dumps({
         "metric": "gen_fps_chip",
         "value": round(fps, 3),
@@ -464,24 +501,22 @@ def main():
         "chunk2plus_new_frames_per_s": round(chunk2plus, 3),
         "sustained_denoise_s": round(sus_denoise_s, 2),
         "sustained_decode_s": round(sus_decode_s, 2),
+        "sustained_prime_s": round(sus_prime_s, 2),
         "sustained_encode_s": round(sus_encode_s, 2),
         "sustained_other_s": round(sus_other_s, 2),
-        "gen_fps_fast": round(fps_fast, 3),
-        "sustained_fps_fast": round(sustained_fps_fast, 3),
-        "fast_deviation_p95": round(fast_dev_p95, 3),
-        "fast_deviation_mean": round(fast_dev_mean, 3),
-        "sustained_fps_reuse": round(sustained_fps_reuse, 3),
-        "reuse_deviation_p95": round(reuse_dev_p95, 3),
-        "reuse_deviation_mean": round(reuse_dev_mean, 3),
-        "sustained_fps_boundary": round(sustained_fps_boundary, 3),
-        "boundary_deviation_p95": round(boundary_dev_p95, 3),
-        "boundary_deviation_mean": round(boundary_dev_mean, 3),
-        "sustained_fps_allfast": (None if sustained_fps_allfast is None
-                                  else round(sustained_fps_allfast, 3)),
-        "allfast_deviation_p95": (None if allfast_dev_p95 is None
-                                  else round(allfast_dev_p95, 3)),
-        "allfast_deviation_mean": (None if allfast_dev_mean is None
-                                   else round(allfast_dev_mean, 3)),
+        "gen_fps_fast": rnd(fps_fast),
+        "sustained_fps_fast": rnd(sustained_fps_fast),
+        "fast_deviation_p95": rnd(fast_dev_p95),
+        "fast_deviation_mean": rnd(fast_dev_mean),
+        "sustained_fps_reuse": rnd(sustained_fps_reuse),
+        "reuse_deviation_p95": rnd(reuse_dev_p95),
+        "reuse_deviation_mean": rnd(reuse_dev_mean),
+        "sustained_fps_boundary": rnd(sustained_fps_boundary),
+        "boundary_deviation_p95": rnd(boundary_dev_p95),
+        "boundary_deviation_mean": rnd(boundary_dev_mean),
+        "sustained_fps_allfast": rnd(sustained_fps_allfast),
+        "allfast_deviation_p95": rnd(allfast_dev_p95),
+        "allfast_deviation_mean": rnd(allfast_dev_mean),
     }))
 
 

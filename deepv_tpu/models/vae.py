@@ -466,13 +466,19 @@ def chunk_encode(cfg: VAEConfig, p: dict, x: jnp.ndarray, window_size: int = 16)
     return jnp.concatenate(outs, axis=2)
 
 
-def chunk_decode(cfg: VAEConfig, p: dict, z: jnp.ndarray, window_size: int = 2):
+def chunk_decode(cfg: VAEConfig, p: dict, z: jnp.ndarray, window_size: int = 2,
+                 return_cache: bool = False):
     """Temporal-chunked decode (ref vae.py:902-920).
 
     The init window runs as its own program; the equal-sized cont windows run
     as ONE jitted ``lax.scan`` with the conv-cache pytree as carry — a single
     dispatch and compilation for the whole tail. A ragged final window (z not
     aligned to the window size) runs as one more program.
+
+    ``return_cache=True`` additionally returns the final conv-cache pytree
+    (the jitted programs compute it either way; this only changes what the
+    host keeps) — the carry for ``chunk_decode_cont`` across chunk
+    boundaries (pipeline ``reuse_decoder_cache``).
     """
     sizes = _split_windows(z.shape[2], window_size)
     out0, cache = _dec_window(cfg, p, z[:, :, :sizes[0]], None, "init")
@@ -488,16 +494,19 @@ def chunk_decode(cfg: VAEConfig, p: dict, z: jnp.ndarray, window_size: int = 2):
     if fid < z.shape[2]:
         d, cache = _dec_window(cfg, p, z[:, :, fid:], cache, "cont")
         outs.append(d)
-    return jnp.concatenate(outs, axis=2)
+    out = jnp.concatenate(outs, axis=2)
+    return (out, cache) if return_cache else out
 
 
 def chunk_decode_cont(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache,
-                      window_size: int = 2):
+                      window_size: int = 2, return_cache: bool = False):
     """Chunked decode continuing from a carried conv-cache pytree: all
     windows run in ``cont`` mode (equal-sized ones as the shared
     ``_dec_scan`` program). With ``cache`` from ``_dec_prime_warm`` this
     decodes a chunk's NEW latents bit-identically to ``chunk_decode`` over
-    the full (overlap + new) stream — chunked == full is exact."""
+    the full (overlap + new) stream — chunked == full is exact.
+    ``return_cache=True`` also returns the final cache pytree (the
+    ``reuse_decoder_cache`` carry for the next chunk)."""
     outs = []
     n_full = z.shape[2] // window_size
     fid = 0
@@ -510,7 +519,8 @@ def chunk_decode_cont(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache,
     if fid < z.shape[2]:
         d, cache = _dec_window(cfg, p, z[:, :, fid:], cache, "cont")
         outs.append(d)
-    return jnp.concatenate(outs, axis=2)
+    out = jnp.concatenate(outs, axis=2)
+    return (out, cache) if return_cache else out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

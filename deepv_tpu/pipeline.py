@@ -15,8 +15,9 @@ TPU-first structure:
   - inter-stage upsample+renoise is jitted with the closed-form block-noise
     transform;
   - all rollout state (carry-over latents, poses, disparities) stays on
-    device as jnp arrays; the host only sequences chunks and picks the
-    retrieved-history index (one scalar sync per chunk);
+    device as jnp arrays — including the retrieved-history index
+    (``dynamic_slice``): the host only sequences chunks, never waits on a
+    device scalar mid-rollout;
   - RGB and disparity share one batched VAE *encode* call; *decode* stays
     two serial calls — measured (scripts/probe_decode.py): batch-2 decode is
     ~32% slower than serial on the v5e at full size.
@@ -35,9 +36,9 @@ import numpy as np
 from .config import MMDiTConfig, PipelineConfig, VAEConfig
 from .models.mmdit import mmdit_forward
 from .models.scheduler import FlowMatchSchedule, euler_step
-from .models.vae import (_dec_prime_warm, _dec_window, chunk_decode_cont,
-                         decoder_prime_need, gaussian_sample, vae_decode,
-                         vae_encode)
+from .models.vae import (_dec_prime_warm, _dec_window, chunk_decode,
+                         chunk_decode_cont, decoder_prime_need,
+                         gaussian_sample, vae_decode, vae_encode)
 from .ops.block_noise import sample_block_noise
 from .ops.resample import down2x_bilinear, up2x_nearest
 from .raymap import raymap_from_camera_batch, raymap_to_camera
@@ -359,18 +360,24 @@ class InferencePipeline:
         #: pixel window becomes available (requires stream_decode) — the
         #: interactive-serving hook; windows include chunk-overlap re-decodes
         self.on_frames = None
-        #: carry the streaming-decoder conv caches across chunk boundaries
-        #: instead of re-decoding the 25-frame overlap from its re-encoded
-        #: latents (the serve.InteractiveSession option, now reachable from
-        #: generate()). Exact for the NEW frames' latents; the decoded
-        #: overlap pixels come from the previous chunk's latents rather than
-        #: the uint8-roundtripped re-encode the reference decodes
+        #: carry the decoder conv caches across chunk boundaries instead of
+        #: re-decoding the 25-frame overlap from its re-encoded latents
+        #: (the serve.InteractiveSession option, also reachable from
+        #: generate()). Works in BOTH decode modes: streaming (caches carried
+        #: from the unit loop) and end-of-chunk (the final caches of the
+        #: whole-chunk decode — same cache values, since streaming ==
+        #: end-of-chunk decode is exact). Exact for the NEW frames' latents;
+        #: the decoded overlap pixels come from the previous chunk's latents
+        #: rather than the uint8-roundtripped re-encode the reference decodes
         #: (ref pipeline.py:338-343), so outputs deviate slightly —
-        #: quantified in bench.py (reuse_deviation_*). Requires
-        #: stream_decode.
+        #: quantified in bench.py (reuse_deviation_*). The caches (~2.8 GB
+        #: at full size, two streams) stay HBM-resident across the next
+        #: chunk's denoise either way; unlike exact priming there is no
+        #: transient second cache generation at the boundary.
         self.reuse_decoder_cache = reuse_decoder_cache
         if reuse_decoder_cache:
-            assert stream_decode, "reuse_decoder_cache requires stream_decode"
+            assert mesh is None and not use_tiling, \
+                "reuse_decoder_cache carries single-device cache pytrees"
         #: quality-gated boundary fast mode (default off): carry the chunk's
         #: own generated RGB latents into the next chunk's conditioning
         #: instead of re-encoding the uint8-roundtripped carry pixels
@@ -581,9 +588,31 @@ class InferencePipeline:
         chunk's raw tail for bookkeeping."""
         lat = self._unnorm_latents(lat).astype(self.dtype)
         dec = self.params["vae"]["decoder"]
-        cache = _dec_prime_warm(self.vcfg, dec, lat[:, :, :n_overlap])
+        # "prime" phase nests inside the caller's "vae_decode" phase: its
+        # time is counted in BOTH (subtract when itemising, see bench.py)
+        with self.timer.phase("prime"):
+            cache = _dec_prime_warm(self.vcfg, dec, lat[:, :, :n_overlap])
+            if self.timer.sync:
+                force_completion(jax.tree.leaves(cache)[0])
         return chunk_decode_cont(self.vcfg, dec, lat[:, :, n_overlap:], cache,
                                  self.decode_window)
+
+    def _decode_latents_reuse(self, lat: jnp.ndarray, cache, n_overlap: int):
+        """End-of-chunk decode for ``reuse_decoder_cache``: continue the
+        previous chunk's final decoder caches past the boundary — no prime,
+        no overlap re-decode; only the latents past ``n_overlap`` are
+        decoded. With ``cache=None`` (first chunk, or a fresh session) the
+        whole stream decodes from scratch. Returns ``(pixels, final_cache)``;
+        the cache values equal the streaming mode's (streaming ==
+        end-of-chunk decode is exact), so both modes emit identical pixels.
+        """
+        lat = self._unnorm_latents(lat).astype(self.dtype)
+        dec = self.params["vae"]["decoder"]
+        if cache is None:
+            return chunk_decode(self.vcfg, dec, lat, self.decode_window,
+                                return_cache=True)
+        return chunk_decode_cont(self.vcfg, dec, lat[:, :, n_overlap:], cache,
+                                 self.decode_window, return_cache=True)
 
     def _decode_latents(self, lat: jnp.ndarray) -> jnp.ndarray:
         """Un-normalise + chunked decode (ref pipeline.py:703-715)."""
@@ -703,6 +732,8 @@ class InferencePipeline:
             else:
                 img_lat = self._norm_image_latent(self._encode_pixels(input_image, k_enc))
                 disp_lat = jnp.zeros_like(img_lat)
+            if self.timer.sync:
+                force_completion(disp_lat)
 
         if input_raymap is None:
             raymap_lat = jnp.zeros(
@@ -749,7 +780,8 @@ class InferencePipeline:
                 # compute of the final full-resolution block (~20% of the
                 # warm cost). No overlap pixel windows are emitted; the
                 # caller restores the previous chunk's tail for bookkeeping
-                rgb_cache, disp_cache = self._prime_warm(input_image_latent)
+                with self.timer.phase("prime"):
+                    rgb_cache, disp_cache = self._prime_warm(input_image_latent)
                 stream_first = False
             else:
                 # warm the decoder caches on the carried-over latent frames
@@ -817,6 +849,25 @@ class InferencePipeline:
                 # frames were decoded incrementally during the unit loop
                 image = jnp.concatenate(rgb_frames, axis=2)
                 disparity = jnp.concatenate(disp_frames, axis=2)
+            elif self.reuse_decoder_cache:
+                # end-of-chunk cache reuse: continue the previous chunk's
+                # final decoder caches past the boundary (no prime, no
+                # overlap re-decode); on the first chunk decode everything
+                # and keep the final caches. Caches and pixels equal the
+                # streaming reuse mode's bit-for-bit.
+                n_ov = (0 if firstframe_mask or dec_state is None
+                        else input_image_latent.shape[2])
+                prev_rgb, prev_disp = dec_state or (None, None)
+                if self.decode_batched:
+                    both, rgb_cache = self._decode_latents_reuse(
+                        jnp.concatenate([lat_img, lat_disp], axis=0),
+                        prev_rgb, n_ov)
+                    image, disparity = both[:1], both[1:2]
+                else:
+                    image, rgb_cache = self._decode_latents_reuse(
+                        lat_img, prev_rgb, n_ov)
+                    disparity, disp_cache = self._decode_latents_reuse(
+                        lat_disp, prev_disp, n_ov)
             elif (not firstframe_mask
                   and self._prime_eligible(input_image_latent)):
                 # chunk boundary: the overlap's decoded pixels are discarded
@@ -1032,12 +1083,17 @@ class InferencePipeline:
         fwds = c2w[closest, :3, 2]
         dots = jnp.sum(fwds * last_fwd, axis=1)
         angles = jnp.arccos(jnp.clip(dots, -1.0, 1.0))
-        idx = int(closest[jnp.argmin(angles)])  # one host sync per chunk
+        # keep the retrieved index ON DEVICE (dynamic_slice): fetching it to
+        # the host (`int(...)`) drains the whole device queue — the current
+        # chunk's decode — before the host may dispatch the history encode
+        # and the next chunk's first programs, idling the chip for the
+        # host's dispatch latency at every boundary. Same math either way.
+        idx = closest[jnp.argmin(angles)]
 
-        cur_image = cur_images[:, :, idx:idx + 1]
-        cur_disparity = cur_disparitys[:, :, idx:idx + 1]
-        sel_trans3d = cur_trans3d[:, idx:idx + 1]
-        sel_trans2d = cur_trans2d[:, idx:idx + 1]
+        cur_image = jax.lax.dynamic_slice_in_dim(cur_images, idx, 1, axis=2)
+        cur_disparity = jax.lax.dynamic_slice_in_dim(cur_disparitys, idx, 1, axis=2)
+        sel_trans3d = jax.lax.dynamic_slice_in_dim(cur_trans3d, idx, 1, axis=1)
+        sel_trans2d = jax.lax.dynamic_slice_in_dim(cur_trans2d, idx, 1, axis=1)
 
         cur_disparity = jnp.sqrt(cur_disparity * scale_factor * 0.95)
         cur_disparity = jnp.clip(cur_disparity * 2.0 - 1.0, -1.0, 1.0)
@@ -1055,7 +1111,11 @@ class InferencePipeline:
         stats on the single frame, normalise the raymap."""
         cfg = self.cfg
         k1, _ = jax.random.split(key)
-        enc = self._encode_pixels(jnp.concatenate([rgb, disparity], axis=0).astype(self.dtype), k1)
+        with self.timer.phase("vae_encode"):
+            enc = self._encode_pixels(
+                jnp.concatenate([rgb, disparity], axis=0).astype(self.dtype), k1)
+            if self.timer.sync:
+                force_completion(enc)
         video, disp = enc[:1], enc[1:2]
         video = (video - cfg.vae_shift_factor) * cfg.vae_scale_factor
         disp = (disp - cfg.vae_shift_factor) * cfg.vae_scale_factor

@@ -412,7 +412,8 @@ class SessionServer:
     def __init__(self, pipe: InferencePipeline, host: str = "127.0.0.1",
                  port: int = 0, max_sessions: int = 4,
                  history_limit_chunks: int = 4,
-                 session_ttl_s: Optional[float] = 900.0):
+                 session_ttl_s: Optional[float] = 900.0,
+                 reuse_decoder_cache: bool = False):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self.pipes: List[InferencePipeline] = (
@@ -421,6 +422,10 @@ class SessionServer:
         self.max_sessions = max_sessions
         self.history_limit_chunks = history_limit_chunks
         self.session_ttl_s = session_ttl_s
+        #: sessions carry decoder caches across chunk boundaries (quality-
+        #: gated: skips the boundary's overlap re-decode; see
+        #: InteractiveSession.reuse_decoder_cache)
+        self.reuse_decoder_cache = reuse_decoder_cache
         self.sessions: Dict[str, InteractiveSession] = {}
         self._last_used: Dict[str, float] = {}
         self._stream_of: Dict[str, int] = {}    # session id -> stream index
@@ -502,6 +507,7 @@ class SessionServer:
                             stream = per_stream.index(min(per_stream))
                             sess = InteractiveSession(
                                 outer.pipes[stream],
+                                reuse_decoder_cache=outer.reuse_decoder_cache,
                                 history_limit_chunks=outer.history_limit_chunks)
                             # reserve the slot before the (slow) start so a
                             # concurrent /session cannot oversubscribe
@@ -606,6 +612,11 @@ def cli():
                    help="quality-gated boundary fast mode: carry generated "
                         "rgb latents across chunk boundaries instead of "
                         "re-encoding the carry pixels")
+    p.add_argument("--reuse_decoder_cache", action="store_true",
+                   help="quality-gated boundary fast mode: sessions carry "
+                        "the streaming decoder's conv caches across chunk "
+                        "boundaries, removing the boundary's overlap "
+                        "re-decode hitch (deviation measured in bench.py)")
     p.add_argument("--flow_cache", default=None,
                    help="flow-caching mode: none | skip_odd | adaptive[:tau] "
                         "(error-bounded adaptive caching; overrides the "
@@ -636,7 +647,8 @@ def cli():
                              tp_shards=args.tp_shards, fast=args.fast,
                              flow_cache=args.flow_cache,
                              carry_latents=args.carry_latents)
-    server = SessionServer(pipe, host=args.host, port=args.port)
+    server = SessionServer(pipe, host=args.host, port=args.port,
+                           reuse_decoder_cache=args.reuse_decoder_cache)
     port = server.start()
     print(f"[serve] listening on http://{args.host}:{port} "
           f"(POST /session, POST /step, GET /metrics)")

@@ -104,6 +104,19 @@ def test_reuse_decoder_cache_rollout(pipe):
                                np.asarray(ref["trans3d"]), atol=1e-4)
     assert np.isfinite(np.asarray(out["pred_img"], np.float32)).all()
 
+    # END-OF-CHUNK reuse (the bench's sustained-reuse mode): the previous
+    # chunk's final decode caches continue past the boundary. Pixels equal
+    # the streaming reuse mode's up to program-level f32 reassociation
+    # (per-window calls vs one chunked scan compile to different programs)
+    epipe = InferencePipeline(pipe.cfg, pipe.mcfg, pipe.vcfg, pipe.params,
+                              pipe.text_embeds, dtype=jnp.float32,
+                              stream_decode=False, reuse_decoder_cache=True)
+    out_e = epipe.generate(make_batch(prompt), seed=2)
+    assert out_e["pred_img"].shape == (1, 3, 89, H, W)
+    np.testing.assert_allclose(np.asarray(out_e["pred_img"], np.float32),
+                               np.asarray(out["pred_img"], np.float32),
+                               atol=1e-5)
+
 
 def test_carry_latents_rollout(pipe):
     """carry_latents=True skips the rgb carry re-encode at chunk boundaries

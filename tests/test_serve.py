@@ -379,3 +379,30 @@ def test_session_ttl_eviction(pipe):
         assert conn.getresponse().status == 404
     finally:
         server.stop()
+
+
+def test_server_reuse_decoder_cache_flag(pipe):
+    """SessionServer(reuse_decoder_cache=True) (the --reuse_decoder_cache CLI
+    flag) creates reuse sessions: steps cross the chunk boundary without the
+    overlap re-decode and keep emitting finite frames."""
+    server = SessionServer(pipe, port=0, reuse_decoder_cache=True)
+    port = server.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port)
+        img = np.asarray(make_batch()["img"])
+        conn.request("POST", "/session", json.dumps({"image": _np_b64(img),
+                                                     "seed": 7}),
+                     {"Content-Type": "application/json"})
+        sid = json.loads(conn.getresponse().read())["session_id"]
+        assert server.sessions[sid].reuse_decoder_cache is True
+        out = None
+        for _ in range(9):                 # crosses the 8-unit chunk boundary
+            conn.request("POST", "/step", json.dumps(
+                {"session_id": sid,
+                 "action": "Move forward. The perspective hasn't changed."}),
+                {"Content-Type": "application/json"})
+            out = json.loads(conn.getresponse().read())
+            assert "rgb" in out, out
+        assert out["frames_total"] > pipe.cfg.max_temporal_length
+    finally:
+        server.stop()
