@@ -336,6 +336,7 @@ def main():
         sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
         print(f"[bench] fast warmup: {time.time()-t0:.1f}s (incl. compile)",
               file=sys.stderr)
+        del out_f; gc.collect()   # free the warmup output before timing
         t0 = time.time()
         out_f = fpipe.generate(batch, seed=42)
         sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
@@ -359,6 +360,7 @@ def main():
         sync(out_sf["pred_img"]); sync(out_sf["pred_disparity"])
         print(f"[bench] sustained-fast warmup: {time.time()-t0:.1f}s",
               file=sys.stderr)
+        del out_sf; gc.collect()
         t0 = time.time()
         out_sf = fpipe.generate(long_batch, seed=8)
         sync(out_sf["pred_img"]); sync(out_sf["pred_disparity"])
@@ -370,6 +372,9 @@ def main():
     except Exception as e:
         print(f"[bench] fast section failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        # drop whatever the section held (pipes pin int8 weight copies,
+        # outputs pin HBM) so later sections don't OOM in cascade
+        fpipe = exact_ref = out_f = out_sf = None
     gc.collect()
 
     # -- boundary optimisation: reuse_decoder_cache sustained rate + cost ----
@@ -392,6 +397,10 @@ def main():
         out_r = rpipe.generate(long_batch, seed=8)   # compile pass (shared shapes)
         sync(out_r["pred_img"]); sync(out_r["pred_disparity"])
         print(f"[bench] reuse warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+        # the reuse rollout carries ~2.8 GB of decoder caches on top of the
+        # 4.9 GB params; the warmup's 121-frame output pushed the timed run
+        # over HBM (measured) — free it first
+        del out_r; gc.collect()
         t0 = time.time()
         out_r = rpipe.generate(long_batch, seed=8)
         sync(out_r["pred_img"]); sync(out_r["pred_disparity"])
@@ -408,6 +417,7 @@ def main():
     except Exception as e:
         print(f"[bench] reuse section failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        rpipe = out_r = None
     gc.collect()
 
     # composed boundary mode: reuse_decoder_cache + carry_latents (skip the
@@ -425,6 +435,7 @@ def main():
         out_b = bpipe.generate(long_batch, seed=8)    # warm (programs shared)
         sync(out_b["pred_img"]); sync(out_b["pred_disparity"])
         print(f"[bench] boundary warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+        del out_b; gc.collect()
         t0 = time.time()
         out_b = bpipe.generate(long_batch, seed=8)
         sync(out_b["pred_img"]); sync(out_b["pred_disparity"])
@@ -441,6 +452,7 @@ def main():
     except Exception as e:
         print(f"[bench] boundary section failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        bpipe = out_b = None
     gc.collect()
 
     # -- max-throughput composition: every quality-gated mode together -------
@@ -465,6 +477,7 @@ def main():
         out_m = mpipe.generate(long_batch, seed=8)    # warm (programs shared)
         sync(out_m["pred_img"]); sync(out_m["pred_disparity"])
         print(f"[bench] allfast warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+        del out_m; gc.collect()
         t0 = time.time()
         out_m = mpipe.generate(long_batch, seed=8)
         sync(out_m["pred_img"]); sync(out_m["pred_disparity"])
@@ -482,11 +495,19 @@ def main():
     except Exception as e:
         print(f"[bench] all-fast composition failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        mpipe = out_m = None
+    gc.collect()
 
     # -- on-chip kernel parity (only meaningful where pallas is the prod path)
+    # Guarded like the sections above: a parity failure (or leftover HBM
+    # pressure) must not stop the JSON line from emitting.
     attn_err = None
-    if jax.default_backend() == "tpu" or pipe.attn_impl == "pallas":
-        attn_err = attention_parity_on_chip(mcfg, H, W)
+    try:
+        if jax.default_backend() == "tpu" or pipe.attn_impl == "pallas":
+            attn_err = attention_parity_on_chip(mcfg, H, W)
+    except Exception as e:
+        print(f"[bench] attention parity failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     rnd = lambda x, n=3: None if x is None else round(x, n)
     print(json.dumps({

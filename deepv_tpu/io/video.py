@@ -60,8 +60,18 @@ def _rotation_icon(size: int, clockwise: bool, color) -> Image.Image:
 def _default_icon_dir() -> Optional[str]:
     """The reference's hard-coded ``./assets/icons`` (ref run.py:199), taken
     only when it actually holds the glyphs; overridable via
-    ``DEEPV_ICON_ASSETS``."""
-    d = os.environ.get("DEEPV_ICON_ASSETS", os.path.join("assets", "icons"))
+    ``DEEPV_ICON_ASSETS``. An EXPLICIT override that lacks the glyphs is an
+    error — silently falling back to procedural icons would let a typo'd
+    path masquerade as the reference-pixel output."""
+    d = os.environ.get("DEEPV_ICON_ASSETS")
+    if d is not None:
+        if not os.path.isfile(os.path.join(d, "forward.png")):
+            raise FileNotFoundError(
+                f"DEEPV_ICON_ASSETS={d!r} does not contain the icon glyphs "
+                f"(expected e.g. {os.path.join(d, 'forward.png')}); unset it "
+                f"to use the procedural fallback icons")
+        return d
+    d = os.path.join("assets", "icons")
     return d if os.path.isfile(os.path.join(d, "forward.png")) else None
 
 

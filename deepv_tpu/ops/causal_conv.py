@@ -101,6 +101,11 @@ def causal_conv3d(
     kt, kh, kw = params["weight"].shape[2:]
     hp, wp = kh // 2, kw // 2
     time_pad = kt - 1
+    # the cache protocol (2 trailing frames everywhere, stride-2 phase rule,
+    # temporal-CP halo width) is written for the reference's kt in {1, 3};
+    # any other temporal extent must fail loudly, not continue cacheless
+    assert mode == "full" or kt in (1, 3), \
+        f"cached conv modes support kt in (1, 3); got kt={kt}"
 
     if cp_axis is not None:
         x, hp = _cp_halo_h(x, cp_axis, kh, stride[1])
@@ -153,7 +158,7 @@ def causal_conv3d(
         # returned cache equals a full pass's (last kt-1 input frames)
         assert stride == (1, 1, 1), "prime mode supports stride-1 convs only"
         assert x.shape[2] > time_pad, "prime mode needs > kt-1 input frames"
-        new_cache = x[:, :, -2:]
+        new_cache = x[:, :, -(kt - 1):]
         if igemm:
             return conv3d_igemm(x, params, time_pad=0), new_cache
         if int8:

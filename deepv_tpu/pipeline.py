@@ -358,7 +358,11 @@ class InferencePipeline:
         self.flow_cache = flow_cache
         #: optional callback(rgb_window, disp_window) fired as each decoded
         #: pixel window becomes available (requires stream_decode) — the
-        #: interactive-serving hook; windows include chunk-overlap re-decodes
+        #: interactive-serving hook. Windows cover chunk-overlap re-decodes
+        #: ONLY when the boundary actually re-decodes them; with the default
+        #: exact priming (or cache reuse) chunks >= 2 emit NEW frames only
+        #: (32 per chunk, not 57). Consumers that need the reference's
+        #: full re-decode stream must pass prime_decoder_cache=False.
         self.on_frames = None
         #: carry the decoder conv caches across chunk boundaries instead of
         #: re-decoding the 25-frame overlap from its re-encoded latents
@@ -767,6 +771,11 @@ class InferencePipeline:
             if self.on_frames is not None:
                 self.on_frames(yi, yd)
 
+        # does this chunk's decode cover the WHOLE latent window? False when
+        # the overlap's pixels are skipped (cache reuse / exact priming) —
+        # the caller then restores the previous chunk's raw tail. Explicit
+        # flag, not inferred from output shapes.
+        full_window = True
         if stream and not firstframe_mask:
             if dec_state is not None:
                 # reuse_decoder_cache: the previous chunk's decoder caches
@@ -774,6 +783,7 @@ class InferencePipeline:
                 # overlap re-decode; only the NEW units will be decoded
                 rgb_cache, disp_cache = dec_state
                 stream_first = False
+                full_window = False
             elif self._prime_eligible(input_image_latent):
                 # EXACT cache priming: rebuild the caches the overlap
                 # re-decode exists to produce, skipping the discarded-pixel
@@ -783,6 +793,7 @@ class InferencePipeline:
                 with self.timer.phase("prime"):
                     rgb_cache, disp_cache = self._prime_warm(input_image_latent)
                 stream_first = False
+                full_window = False
             else:
                 # warm the decoder caches on the carried-over latent frames
                 # ONE frame at a time: a single t=4 window peaks ~4x the
@@ -857,7 +868,13 @@ class InferencePipeline:
                 # streaming reuse mode's bit-for-bit.
                 n_ov = (0 if firstframe_mask or dec_state is None
                         else input_image_latent.shape[2])
+                full_window = n_ov == 0
                 prev_rgb, prev_disp = dec_state or (None, None)
+                # drop redundant refs as the decodes consume the previous
+                # chunk's caches: each full-size cache pytree is ~1.4 GB and
+                # the peak (old + new generation alive at once) is what
+                # bounds this mode's HBM headroom
+                dec_state = None
                 if self.decode_batched:
                     both, rgb_cache = self._decode_latents_reuse(
                         jnp.concatenate([lat_img, lat_disp], axis=0),
@@ -866,8 +883,10 @@ class InferencePipeline:
                 else:
                     image, rgb_cache = self._decode_latents_reuse(
                         lat_img, prev_rgb, n_ov)
+                    prev_rgb = None
                     disparity, disp_cache = self._decode_latents_reuse(
                         lat_disp, prev_disp, n_ov)
+                    prev_disp = None
             elif (not firstframe_mask
                   and self._prime_eligible(input_image_latent)):
                 # chunk boundary: the overlap's decoded pixels are discarded
@@ -876,6 +895,7 @@ class InferencePipeline:
                 # tests/test_prime_decode.py). The caller restores the
                 # previous chunk's raw tail for bookkeeping
                 n_ov = input_image_latent.shape[2]
+                full_window = False
                 if self.decode_batched:
                     both = self._decode_latents_primed(
                         jnp.concatenate([lat_img, lat_disp], axis=0), n_ov)
@@ -899,7 +919,8 @@ class InferencePipeline:
         dec_state = ((rgb_cache, disp_cache)
                      if self.reuse_decoder_cache else None)
         carry_lat = self._carry_rgb_latent(lat_img) if self.carry_latents else None
-        return image, disparity, trans3d, trans2d, dec_state, carry_lat
+        return (image, disparity, trans3d, trans2d, dec_state, carry_lat,
+                full_window)
 
     # -- full rollout (ref pipeline.py:264-424) -------------------------------
 
@@ -942,23 +963,29 @@ class InferencePipeline:
                 input_raymap = (input_raymap - self.raymap_mean) / self.raymap_std
 
             key, k_chunk = jax.random.split(key)
+            # hand the decoder caches over rather than sharing them: the
+            # caller's binding would otherwise pin the previous generation
+            # (~2.8 GB at full size) for the whole chunk
+            ds_arg, dec_state = (dec_state if reuse else None), None
             (images, disparitys, trans3d, trans2d, dec_state,
-             carry_lat) = self.generate_i2v(
+             carry_lat, full_window) = self.generate_i2v(
                 k_chunk, motion_prompt, use_motion,
                 input_image, input_disparity, input_raymap, input_history,
                 guidance_scale=guidance_scale,
                 video_guidance_scale=video_guidance_scale,
-                dec_state=(dec_state if reuse else None),
-                carry_rgb_latent=carry_lat)
+                dec_state=ds_arg, carry_rgb_latent=carry_lat)
+            del ds_arg
 
             if keep_tail:
-                if now_iter > 0 and images.shape[2] != cfg.actual_frame:
+                if now_iter > 0 and not full_window:
                     # the overlap was not re-decoded (cache reuse or exact
-                    # priming); restore the previous chunk's raw tail so the
-                    # bookkeeping sees the full 57-frame layout (same recipe
-                    # as serve._finish_chunk). These frames are dropped by
+                    # priming — generate_i2v says so explicitly); restore the
+                    # previous chunk's raw tail so the bookkeeping sees the
+                    # full 57-frame layout (same recipe as
+                    # serve._finish_chunk). These frames are dropped by
                     # _accumulate_chunk and never feed the carry, so the
                     # primed rollout's OUTPUT equals the full re-decode's
+                    assert images.shape[2] != cfg.actual_frame
                     images = jnp.concatenate([tail_rgb, images], axis=2)
                     disparitys = jnp.concatenate([tail_disp, disparitys], axis=2)
                 tail_rgb = images[:, :, -n_img:]

@@ -184,11 +184,17 @@ class InteractiveSession:
         self.chunk_key = k_chunk
         self.chunk_prompts: List[str] = []
 
-        # streaming decoder state
+        # streaming decoder state. _full_window: will this chunk's decoded
+        # frames cover the whole latent window? False when the overlap is
+        # skipped (cache reuse / exact priming) — _finish_chunk then restores
+        # the previous chunk's raw tail. Explicit flag, not shape-sniffed.
         reuse = self.reuse_decoder_cache and self.now_iter > 0
         self._rgb_frames: List[jnp.ndarray] = []
         self._disp_frames: List[jnp.ndarray] = []
-        if not reuse:
+        self._full_window = True
+        if reuse:
+            self._full_window = False
+        else:
             self._rgb_cache = self._disp_cache = None
             self._stream_first = True
             if not fm:
@@ -199,6 +205,7 @@ class InteractiveSession:
                     self._rgb_cache, self._disp_cache = p._prime_warm(
                         self.generated[0])
                     self._stream_first = False
+                    self._full_window = False
                 else:
                     # per-frame windows: one t=4 window peaks ~4x the steady
                     # activations and can OOM HBM (see pipeline.generate_i2v)
@@ -289,10 +296,11 @@ class InteractiveSession:
                                             vae_downsample=ds)
         images = jnp.concatenate(self._rgb_frames, axis=2)
         disparitys = jnp.concatenate(self._disp_frames, axis=2)
-        if self.now_iter > 0 and images.shape[2] != cfg.actual_frame:
-            # the overlap was not re-decoded (cache reuse or exact priming);
-            # restore the previous chunk's tail so the bookkeeping sees the
-            # full 57-frame layout
+        if self.now_iter > 0 and not self._full_window:
+            # the overlap was not re-decoded (cache reuse or exact priming —
+            # _begin_chunk said so explicitly); restore the previous chunk's
+            # tail so the bookkeeping sees the full 57-frame layout
+            assert images.shape[2] != cfg.actual_frame
             images = jnp.concatenate([self._tail_rgb, images], axis=2)
             disparitys = jnp.concatenate([self._tail_disp, disparitys], axis=2)
         n_img = cfg.num_input_image
@@ -554,7 +562,12 @@ class SessionServer:
                             rgb = _np_b64(out["rgb"])
                             disp = _np_b64(out["disparity"])
                         with outer._registry_lock:
-                            outer._last_used[sid] = time.time()
+                            # a /close may have raced the step: only refresh
+                            # bookkeeping for a session that still exists —
+                            # an unconditional write would resurrect a
+                            # _last_used entry with no matching session
+                            if outer.sessions.get(sid) is sess:
+                                outer._last_used[sid] = time.time()
                         self._json(200, {
                             "rgb": rgb, "disparity": disp,
                             "chunk_complete": bool(out["chunk_complete"]),

@@ -64,9 +64,16 @@ class Trainer:
         semantics of pyramid_flow_matching_loss)."""
         fpu = self.pcfg.frame_per_unit
         n_units = batch["latents"].shape[2] // fpu
+        if n_units < 2:
+            raise ValueError(
+                f"pyramid objective needs clips of >= 2 latent units "
+                f"({2 * fpu} frames at frame_per_unit={fpu}): unit 0 is the "
+                f"conditioning context, the denoised unit is drawn from "
+                f"units >= 1 — got latents with {batch['latents'].shape[2]} "
+                f"frames ({n_units} unit)")
         rng = np.random.default_rng([self.sample_seed, self.step])
         stage = int(rng.integers(0, len(self.pcfg.stages)))
-        unit_index = int(rng.integers(1, max(n_units, 2)))
+        unit_index = int(rng.integers(1, n_units))
         return stage, unit_index
 
     def train(self, batches: Iterable[Dict], key: jax.Array,

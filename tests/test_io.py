@@ -83,6 +83,17 @@ def test_controller_overlay_loads_icon_assets(tmp_path):
     assert (np.abs(bwd[12, 12].astype(int) - [10, 200, 30]) < 30).all()
 
 
+def test_icon_assets_override_fails_loudly(monkeypatch, tmp_path):
+    """An explicit DEEPV_ICON_ASSETS pointing at a dir without the glyphs is
+    an error, not a silent fall-back to procedural icons (a typo'd path must
+    not masquerade as reference-pixel output)."""
+    from PIL import Image
+    monkeypatch.setenv("DEEPV_ICON_ASSETS", str(tmp_path / "nope"))
+    img = Image.new("RGB", (192 * 3, 128))
+    with pytest.raises(FileNotFoundError, match="DEEPV_ICON_ASSETS"):
+        add_controller_on_image(img, "Move forward.")
+
+
 def test_depth_edge_detects_step():
     d = np.ones((16, 16), np.float32)
     d[8:, :] = 5.0

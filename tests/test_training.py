@@ -115,6 +115,16 @@ def test_trainer_pyramid_objective_reduces_loss():
     assert last < first * 0.8, (first, last)
 
 
+def test_trainer_pyramid_rejects_one_unit_clips():
+    """A clip with a single latent unit has no unit >= 1 to denoise (unit 0
+    is the conditioning context): the pyramid sampler must fail loudly, not
+    draw unit_index=1 and slice an empty current-unit latent."""
+    params = init_mmdit_params(jax.random.PRNGKey(0), PYR_CFG)
+    trainer = Trainer(PYR_CFG, params, learning_rate=1e-3)
+    with pytest.raises(ValueError, match="2 latent units"):
+        trainer._sample_stage_unit(make_pyramid_batch(T=1))
+
+
 def test_trainer_sampling_is_resume_stable():
     """(stage, unit) derive from (sample_seed, step): two trainers at the
     same counter draw the same curriculum, and across steps the curriculum
