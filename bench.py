@@ -273,6 +273,7 @@ def main():
     frames_l = int(out_l["pred_img"].shape[2])
     print(f"[bench] sustained warmup ({sus_chunks} chunks, {frames_l} frames): "
           f"{warm_l:.1f}s (incl. compile)", file=sys.stderr)
+    del out_l; gc.collect()   # free the warmup's ~0.3 GB device output
     t0 = time.time()
     out_l = pipe.generate(long_batch, seed=8)
     sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
@@ -290,30 +291,38 @@ def main():
     # more sustained rollout with per-phase device syncs. Runs immediately
     # after the exact sustained timing — the sync-timer methodology is only
     # clean while the exact pipe's programs are the sole device residents
-    # (CLAUDE.md). encode = conditioning/carry re-encodes; other = priming,
-    # history encode, pose chaining, host bookkeeping.
-    pipe.timer = PhaseTimer(sync=True)
-    t0 = time.time()
-    out_i = pipe.generate(long_batch, seed=8)
-    sync(out_i["pred_img"]); sync(out_i["pred_disparity"])
-    wall_i = time.time() - t0
-    ph = pipe.timer.stats()
-    sus_denoise_s = ph.get("denoise_unit", {}).get("total_s", float("nan"))
-    sus_prime_s = ph.get("prime", {}).get("total_s", 0.0)
-    sus_decode_s = (ph.get("vae_decode", {}).get("total_s", 0.0)
-                    + ph.get("stream_decode", {}).get("total_s", 0.0))
-    if not pipe.stream_decode:
-        # end-of-chunk mode nests "prime" inside "vae_decode" — un-double-count
-        sus_decode_s -= sus_prime_s
-    sus_encode_s = ph.get("vae_encode", {}).get("total_s", float("nan"))
-    sus_other_s = (wall_i - sus_denoise_s - sus_decode_s - sus_prime_s
-                   - sus_encode_s)
-    print(f"[bench] sustained itemisation ({wall_i:.1f}s synced wall): "
-          f"denoise {sus_denoise_s:.2f}s, decode {sus_decode_s:.2f}s, "
-          f"prime {sus_prime_s:.2f}s, encode {sus_encode_s:.2f}s, "
-          f"other {sus_other_s:.2f}s", file=sys.stderr)
+    # (CLAUDE.md). encode = conditioning/carry re-encodes AND the
+    # retrieved-history encode (both run under the "vae_encode" phase);
+    # other = pose chaining, noise sampling, host bookkeeping. Guarded like
+    # the sections below: the JSON line must emit even if this rollout OOMs.
+    sus_denoise_s = sus_prime_s = sus_decode_s = sus_encode_s = sus_other_s = None
+    try:
+        pipe.timer = PhaseTimer(sync=True)
+        t0 = time.time()
+        out_i = pipe.generate(long_batch, seed=8)
+        sync(out_i["pred_img"]); sync(out_i["pred_disparity"])
+        wall_i = time.time() - t0
+        ph = pipe.timer.stats()
+        sus_denoise_s = ph.get("denoise_unit", {}).get("total_s", float("nan"))
+        sus_prime_s = ph.get("prime", {}).get("total_s", 0.0)
+        sus_decode_s = (ph.get("vae_decode", {}).get("total_s", 0.0)
+                        + ph.get("stream_decode", {}).get("total_s", 0.0))
+        if not pipe.stream_decode:
+            # end-of-chunk mode nests "prime" inside "vae_decode" — un-double-count
+            sus_decode_s -= sus_prime_s
+        sus_encode_s = ph.get("vae_encode", {}).get("total_s", float("nan"))
+        sus_other_s = (wall_i - sus_denoise_s - sus_decode_s - sus_prime_s
+                       - sus_encode_s)
+        print(f"[bench] sustained itemisation ({wall_i:.1f}s synced wall): "
+              f"denoise {sus_denoise_s:.2f}s, decode {sus_decode_s:.2f}s, "
+              f"prime {sus_prime_s:.2f}s, encode {sus_encode_s:.2f}s, "
+              f"other {sus_other_s:.2f}s", file=sys.stderr)
+        del out_i
+    except Exception as e:
+        print(f"[bench] itemisation section failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        out_i = None
     pipe.timer = PhaseTimer(sync=False)
-    del out_i
     gc.collect()
 
     # -- quality-gated fast modes: rate AND measured deviation ---------------
@@ -520,11 +529,11 @@ def main():
         "attn_parity_max_err": attn_err,
         "sustained_fps": round(sustained_fps, 3),
         "chunk2plus_new_frames_per_s": round(chunk2plus, 3),
-        "sustained_denoise_s": round(sus_denoise_s, 2),
-        "sustained_decode_s": round(sus_decode_s, 2),
-        "sustained_prime_s": round(sus_prime_s, 2),
-        "sustained_encode_s": round(sus_encode_s, 2),
-        "sustained_other_s": round(sus_other_s, 2),
+        "sustained_denoise_s": rnd(sus_denoise_s, 2),
+        "sustained_decode_s": rnd(sus_decode_s, 2),
+        "sustained_prime_s": rnd(sus_prime_s, 2),
+        "sustained_encode_s": rnd(sus_encode_s, 2),
+        "sustained_other_s": rnd(sus_other_s, 2),
         "gen_fps_fast": rnd(fps_fast),
         "sustained_fps_fast": rnd(sustained_fps_fast),
         "fast_deviation_p95": rnd(fast_dev_p95),

@@ -204,22 +204,6 @@ def cp_dec_window(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache, mode: str,
     return fn(p, z, cache)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mode", "mesh", "axis"))
-def cp_enc_window(cfg: VAEConfig, p: dict, x: jnp.ndarray, cache, mode: str,
-                  mesh: Mesh, axis: str = "tp"):
-    """One encode window under spatial CP. Returns ``(moments, new_cache)``."""
-    act = _act_spec(axis)
-    if cache is None:
-        fn = shard_map(lambda p_, x_: encoder_apply(cfg, p_, x_, None, mode, cp_axis=axis),
-                       mesh=mesh, in_specs=(P(), act), out_specs=(act, act),
-                       check_vma=False)
-        return fn(p, x)
-    fn = shard_map(lambda p_, x_, c_: encoder_apply(cfg, p_, x_, c_, mode, cp_axis=axis),
-                   mesh=mesh, in_specs=(P(), act, act), out_specs=(act, act),
-                   check_vma=False)
-    return fn(p, x, cache)
-
-
 def cp_vae_encode_chunked(cfg: VAEConfig, params: dict, x: jnp.ndarray,
                           mesh: Mesh, axis: str = "cp",
                           window_size: int = 16) -> jnp.ndarray:

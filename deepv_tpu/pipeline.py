@@ -351,8 +351,13 @@ class InferencePipeline:
         #: per request, via ``pipe.adaptive_tau``) recompiles nothing.
         self.adaptive_tau = None
         if flow_cache.startswith("adaptive"):
-            _, _, tau_s = flow_cache.partition(":")
-            self.adaptive_tau = jnp.float32(float(tau_s) if tau_s else 0.3)
+            head, sep, tau_s = flow_cache.partition(":")
+            # strict: 'adaptive' or 'adaptive:<float>' — a malformed variant
+            # ('adaptive=0.5', 'adaptive:') must fail loudly, not silently
+            # run the default tau
+            assert head == "adaptive" and (tau_s if sep else not sep), \
+                f"flow_cache {flow_cache!r}: expected 'adaptive' or 'adaptive:<tau>'"
+            self.adaptive_tau = jnp.float32(float(tau_s) if sep else 0.3)
         else:
             assert flow_cache in ("none", "skip_odd"), flow_cache
         self.flow_cache = flow_cache

@@ -97,6 +97,7 @@ def load_pipeline(model_path: str, model_cfg: PipelineConfig,
         # "skip_odd", or "adaptive[:tau]" (error-bounded adaptive caching)
         fast_kw["flow_cache"] = flow_cache
 
+    text_encoder = None
     if random_weights or not os.path.isdir(model_path):
         if os.environ.get("DEEPV_TINY") == "1":   # smoke-run architecture
             mcfg = MMDiTConfig(num_layers=2, num_attention_heads=4,
@@ -129,21 +130,13 @@ def load_pipeline(model_path: str, model_cfg: PipelineConfig,
             embeds = random_text_embeds(0, action_vocabulary(),
                                         joint_dim=mcfg.joint_attention_dim,
                                         pooled_dim=mcfg.pooled_projection_dim)
-        if fast:
-            from dataclasses import replace
-            vcfg = replace(vcfg, conv_impl="int8")
-        if device is not None:
-            params = jax.device_put(params, device)
-        return InferencePipeline(model_cfg, mcfg, vcfg, params, embeds,
-                                 dtype=dtype, text_encoder=text_encoder,
-                                 mesh=mesh, **fast_kw)
     if fast:
         from dataclasses import replace
         vcfg = replace(vcfg, conv_impl="int8")
     if device is not None:
         params = jax.device_put(params, device)
     return InferencePipeline(model_cfg, mcfg, vcfg, params, embeds, dtype=dtype,
-                             mesh=mesh, **fast_kw)
+                             text_encoder=text_encoder, mesh=mesh, **fast_kw)
 
 
 def main(input_image: str, model_path: str, prompt_type: str = "text",

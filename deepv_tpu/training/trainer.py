@@ -111,6 +111,12 @@ class Trainer:
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         meta = load_metadata(path)
+        saved_obj = meta.get("objective")
+        if saved_obj is not None and saved_obj != self.objective:
+            raise ValueError(
+                f"checkpoint {path} was trained with objective={saved_obj!r}; "
+                f"this trainer is configured objective={self.objective!r} — "
+                "restoring would silently continue with the wrong loss")
         self.step = int(meta.get("step", self.step))
         # the (stage, unit) curriculum is derived from (sample_seed, step),
         # so restoring both resumes the exact sampling stream

@@ -289,6 +289,16 @@ def test_flow_cache_skip_odd(pipe):
     assert np.abs(np.asarray(got) - np.asarray(exact)).max() > 0   # differs
 
 
+def test_flow_cache_rejects_malformed(pipe):
+    """A typo'd flow_cache string must fail loudly at construction, never
+    silently run the default tau (a 6x-off error bound with no warning)."""
+    for bad in ("adaptive=0.5", "adaptive_0.05", "adaptive:", "skip_even"):
+        with pytest.raises((AssertionError, ValueError)):
+            InferencePipeline(pipe.cfg, pipe.mcfg, pipe.vcfg, pipe.params,
+                              pipe.text_embeds, dtype=jnp.float32,
+                              flow_cache=bad)
+
+
 def test_flow_cache_pipeline_runs(pipe):
     fast = InferencePipeline(pipe.cfg, pipe.mcfg, pipe.vcfg, pipe.params,
                              pipe.text_embeds, dtype=jnp.float32,

@@ -161,3 +161,12 @@ def test_trainer_checkpoint_resume(tmp_path):
     a = jax.tree.leaves(trainer.params)[0]
     b = jax.tree.leaves(trainer2.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a checkpoint saved under one objective must refuse to restore into a
+    # trainer configured with the other — silently continuing with the wrong
+    # loss is exactly the mismatch the metadata field exists to catch
+    trainer3 = Trainer(CFG, init_mmdit_params(jax.random.PRNGKey(7), CFG),
+                       learning_rate=1e-3, ckpt_dir=str(tmp_path),
+                       objective="pyramid")
+    with pytest.raises(ValueError, match="objective"):
+        trainer3.restore(path)
