@@ -89,7 +89,10 @@ def write_ply(path: str, points: np.ndarray, colors: np.ndarray) -> None:
                            colors.astype(np.int32)], axis=1)
     with open(path, "w") as f:
         f.write(header)
-        np.savetxt(f, body, fmt="%.6g %.6g %.6g %d %d %d")
+        # %.9g round-trips float32 exactly — the reference's plyfile writer
+        # stores full f4 values (ref run.py:175-182); world coordinates after
+        # pose chaining carry meaningful digits past 6
+        np.savetxt(f, body, fmt="%.9g %.9g %.9g %d %d %d")
 
 
 def save_ply_file(points: np.ndarray, mask, image: np.ndarray, output_file: str,

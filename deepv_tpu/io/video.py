@@ -57,6 +57,17 @@ def _rotation_icon(size: int, clockwise: bool, color) -> Image.Image:
     return img
 
 
+def disparity_quantile_range(disp: np.ndarray):
+    """1%/99% disparity quantiles for colorization, over the reference's
+    mask ``(1/disparity) < inf`` (ref run.py:324-326) — exact zeros map to
+    +inf and are excluded; post-mapped frames routinely contain exact zeros
+    (clip then square), so including them would shift the normalisation."""
+    with np.errstate(divide="ignore"):
+        mask = (1.0 / disp) < np.inf
+    vals = disp[mask] if mask.any() else disp.ravel()
+    return np.quantile(vals, 0.01), np.quantile(vals, 0.99)
+
+
 def _default_icon_dir() -> Optional[str]:
     """The reference's hard-coded ``./assets/icons`` (ref run.py:199), taken
     only when it actually holds the glyphs; overridable via
@@ -157,9 +168,7 @@ def save_video(output: Dict, output_path: str, fps: int = 20,
         panels = []
         for i in range(video_np.shape[0]):
             disp = disparity[i]
-            mask = np.isfinite(1.0 / np.maximum(disp, 1e-20))
-            vals = disp[mask] if mask.any() else disp.ravel()
-            min_d, max_d = np.quantile(vals, 0.01), np.quantile(vals, 0.99)
+            min_d, max_d = disparity_quantile_range(disp)
             dn = 1 - np.clip((disp - min_d) / (max_d - min_d + 1e-12), 0, 1)
             panels.append((colorize_depth(dn, 0, 1) * 255).astype(np.uint8))
         video_np = np.concatenate([video_np, np.stack(panels)], axis=2)

@@ -354,12 +354,16 @@ class InferencePipeline:
             head, sep, tau_s = flow_cache.partition(":")
             # strict: 'adaptive' or 'adaptive:<float>' — a malformed variant
             # ('adaptive=0.5', 'adaptive:') must fail loudly, not silently
-            # run the default tau
-            assert head == "adaptive" and (tau_s if sep else not sep), \
-                f"flow_cache {flow_cache!r}: expected 'adaptive' or 'adaptive:<tau>'"
+            # run the default tau. ValueError, not assert: user-input
+            # validation must survive `python -O`
+            if head != "adaptive" or (sep and not tau_s) or (tau_s and not sep):
+                raise ValueError(
+                    f"flow_cache {flow_cache!r}: expected 'adaptive' or 'adaptive:<tau>'")
             self.adaptive_tau = jnp.float32(float(tau_s) if sep else 0.3)
-        else:
-            assert flow_cache in ("none", "skip_odd"), flow_cache
+        elif flow_cache not in ("none", "skip_odd"):
+            raise ValueError(
+                f"flow_cache {flow_cache!r}: expected 'none', 'skip_odd', "
+                f"'adaptive' or 'adaptive:<tau>'")
         self.flow_cache = flow_cache
         #: optional callback(rgb_window, disp_window) fired as each decoded
         #: pixel window becomes available (requires stream_decode) — the

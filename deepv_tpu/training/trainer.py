@@ -107,9 +107,10 @@ class Trainer:
         return path
 
     def restore(self, path: str) -> None:
-        state = restore_pytree(path, {"params": self.params, "opt_state": self.opt_state})
-        self.params = state["params"]
-        self.opt_state = state["opt_state"]
+        # validate metadata BEFORE restoring any state: a mismatched
+        # checkpoint must leave the trainer untouched, not half-restored
+        # (a caller catching the ValueError would otherwise continue with
+        # the wrong objective's params and a stale self.step)
         meta = load_metadata(path)
         saved_obj = meta.get("objective")
         if saved_obj is not None and saved_obj != self.objective:
@@ -117,6 +118,9 @@ class Trainer:
                 f"checkpoint {path} was trained with objective={saved_obj!r}; "
                 f"this trainer is configured objective={self.objective!r} — "
                 "restoring would silently continue with the wrong loss")
+        state = restore_pytree(path, {"params": self.params, "opt_state": self.opt_state})
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
         self.step = int(meta.get("step", self.step))
         # the (stage, unit) curriculum is derived from (sample_seed, step),
         # so restoring both resumes the exact sampling stream

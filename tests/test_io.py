@@ -94,6 +94,41 @@ def test_icon_assets_override_fails_loudly(monkeypatch, tmp_path):
         add_controller_on_image(img, "Move forward.")
 
 
+def test_disparity_quantile_mask_excludes_zeros():
+    """Exact zeros must be excluded from the colorization quantiles via the
+    reference's (1/disp) < inf mask (ref run.py:324-326) — a frame that is
+    half zeros would otherwise get min_d == 0 and a shifted normalisation."""
+    from deepv_tpu.io.video import disparity_quantile_range
+    disp = np.concatenate([np.zeros(500, np.float32),
+                           np.linspace(2.0, 4.0, 500, dtype=np.float32)])
+    rng = np.random.default_rng(3)
+    rng.shuffle(disp)
+    min_d, max_d = disparity_quantile_range(disp.reshape(25, 40))
+    ref = disp[disp != 0.0]     # torch: disparity_[(1/disparity_) < inf]
+    np.testing.assert_allclose(min_d, np.quantile(ref, 0.01), rtol=1e-6)
+    np.testing.assert_allclose(max_d, np.quantile(ref, 0.99), rtol=1e-6)
+    assert min_d >= 2.0         # the zeros did not drag the 1% quantile down
+    # negative values pass the mask (1/neg is finite), matching the reference
+    disp2 = np.array([-1.0, 0.0, 1.0, 2.0, 3.0], np.float32)
+    lo, hi = disparity_quantile_range(disp2)
+    assert lo < 0.0
+    # all-zero frame: reference would crash on empty quantile; we fall back
+    lo0, hi0 = disparity_quantile_range(np.zeros(8, np.float32))
+    assert lo0 == hi0 == 0.0
+
+
+def test_write_ply_full_f32_precision(tmp_path):
+    """%.9g round-trips float32 exactly — world coordinates after pose
+    chaining carry digits past 6 (the reference's plyfile stores full f4)."""
+    pts = np.array([[123456.789, -0.000123456789, 1.23456789]], np.float32)
+    cols = np.array([[1, 2, 3]])
+    path = str(tmp_path / "p.ply")
+    write_ply(path, pts, cols)
+    row = open(path).read().strip().splitlines()[-1].split()
+    back = np.array([float(v) for v in row[:3]], np.float32)
+    np.testing.assert_array_equal(back, pts[0])
+
+
 def test_depth_edge_detects_step():
     d = np.ones((16, 16), np.float32)
     d[8:, :] = 5.0
