@@ -336,7 +336,8 @@ def mmdit_forward(cfg: MMDiTConfig, params: dict,
                   frame_times: Optional[List[jnp.ndarray]] = None,
                   frame_valid: Optional[List[jnp.ndarray]] = None,
                   attn_impl: str = "ref",
-                  split_last_attn: bool = False) -> jnp.ndarray:
+                  split_last_attn: bool = False,
+                  mesh=None) -> jnp.ndarray:
     """One denoise forward over a packed clip list (ref mmdit.py:1467-1530).
 
     clips: oldest -> newest, each [b, c, t, h, w]; the velocity for the LAST
@@ -349,6 +350,19 @@ def mmdit_forward(cfg: MMDiTConfig, params: dict,
     real tokens, ref mmdit.py:1413-1434). This lets one compiled program
     serve every unit index of the rollout.
     """
+    if mesh is not None:
+        # under a tp mesh, pin the (small, per-clip) latent inputs to
+        # replicated BEFORE the 7-D patchify reshape/transpose: GSPMD
+        # otherwise back-propagates a tiled sharding from the patchify
+        # matmul into the transpose and resolves the mismatch with an
+        # "Involuntary full rematerialization" (MULTICHIP_r03.json tail;
+        # the matching output-side pin sits after proj_out below)
+        from jax.sharding import NamedSharding, PartitionSpec
+        _repl = NamedSharding(mesh, PartitionSpec())
+        clips = [jax.lax.with_sharding_constraint(c, _repl) for c in clips]
+        if history is not None:
+            history = jax.lax.with_sharding_constraint(history, _repl)
+
     te = timestep_embedding(timestep).astype(text_embeds.dtype)
     temb = (
         linear(silu(linear(te, params["time_text_embed"]["timestep_embedder"]["linear_1"])),
@@ -411,6 +425,16 @@ def mmdit_forward(cfg: MMDiTConfig, params: dict,
 
     hidden = _adaln_continuous(params["norm_out"], hidden, temb)
     hidden = linear(hidden, params["proj_out"])
+    if mesh is not None:
+        # under a tp mesh, pin the post-proj tokens to replicated HERE, on
+        # the 3-D token tensor (a plain all-gather of the feature axis) —
+        # otherwise GSPMD carries the block-propagated sharding into the 7-D
+        # unpatchify transpose below and resolves the mismatch with an
+        # "Involuntary full rematerialization" every Euler step
+        # (MULTICHIP_r03.json tail)
+        from jax.sharding import NamedSharding, PartitionSpec
+        hidden = jax.lax.with_sharding_constraint(
+            hidden, NamedSharding(mesh, PartitionSpec()))
 
     # unpatchify ONLY the last clip (ref mmdit.py:1444-1457)
     t, h, w = layout.clip_shapes[-1]

@@ -59,7 +59,7 @@ def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
                 guidance, history_scale, history, history_mask,
                 num_rows: int, history_downsample_ratio: int, zero_depth: bool,
                 attn_impl: str, recompute: Tuple[int, ...] = (),
-                adaptive_tau=None):
+                adaptive_tau=None, mesh=None):
     """All Euler steps of one pyramid stage as a lax.scan
     (ref pipeline.py:467-520, one reference step == one scan iteration).
 
@@ -97,7 +97,7 @@ def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
                           history=history, history_mask=history_mask,
                           history_downsample_ratio=history_downsample_ratio,
                           frame_times=list(frame_times), frame_valid=list(frame_valid),
-                          attn_impl=attn_impl, split_last_attn=True)
+                          attn_impl=attn_impl, split_last_attn=True, mesh=mesh)
         if num_rows == 2:
             vu, vt = v[0:1], v[1:2]
             v = vu + guidance * (vt - vu)
@@ -137,21 +137,26 @@ def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
 
 @functools.partial(jax.jit, static_argnames=(
     "mcfg", "num_rows", "history_downsample_ratio", "zero_depth", "attn_impl",
-    "recompute"))
+    "recompute", "mesh"))
 def _denoise_stage(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
                    latents, text_embeds, text_mask, pooled, timesteps, dsigmas,
                    guidance, history_scale, history, history_mask,
                    num_rows: int, history_downsample_ratio: int,
                    zero_depth: bool, attn_impl: str,
-                   recompute: Tuple[int, ...] = (), adaptive_tau=None):
+                   recompute: Tuple[int, ...] = (), adaptive_tau=None,
+                   mesh=None):
     """One pyramid stage as its own program. A whole-unit fused variant was
     measured and reverted: identical steady-state throughput (compute-bound)
-    but ~3x the compile time, hurting time-to-first-frame."""
+    but ~3x the compile time, hurting time-to-first-frame.
+
+    ``mesh`` (static, hashable jax.sharding.Mesh): multi-chip inference —
+    lets the forward pin its unpatchify input to replicated, preventing the
+    GSPMD involuntary-full-remat (models/mmdit.py)."""
     return _stage_scan(mcfg, params, conditions, frame_times, frame_valid, latents,
                        text_embeds, text_mask, pooled, timesteps, dsigmas,
                        guidance, history_scale, history, history_mask,
                        num_rows, history_downsample_ratio, zero_depth, attn_impl,
-                       recompute, adaptive_tau)
+                       recompute, adaptive_tau, mesh)
 
 
 @functools.partial(jax.jit, static_argnames=("gamma",))
@@ -273,7 +278,8 @@ class InferencePipeline:
                  reuse_decoder_cache: bool = False,
                  denoise_int8: bool = False,
                  prime_decoder_cache: bool = True,
-                 carry_latents: bool = False):
+                 carry_latents: bool = False,
+                 encode_window: int = 16):
         self.cfg = cfg
         self.mcfg = mmdit_cfg
         self.vcfg = vae_cfg
@@ -326,6 +332,10 @@ class InferencePipeline:
         self.dtype = dtype
         self.use_tiling = use_tiling
         self.decode_window = decode_window
+        #: temporal window for the chunked carry re-encodes (must be a
+        #: multiple of the encoder's 8x temporal downsample; values are
+        #: window-independent — chunked == full exactly)
+        self.encode_window = encode_window
         #: decode rgb+disparity as one batch-2 VAE call. Measured on the v5e
         #: (scripts/probe_decode.py): batch-2 decode is ~32% SLOWER than two
         #: serial batch-1 calls at full size, so this defaults to False; it
@@ -479,12 +489,17 @@ class InferencePipeline:
     def _encode_pixels(self, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         # temporal chunking bounds encoder activations for the 25-frame
         # carry-over encodes (the reference bounds memory with spatial tiling
-        # instead, ref pipeline.py:215; chunked == full exactly). Batch rows
-        # (rgb / disparity streams) encode SERIALLY with 8-frame windows:
-        # a batch-2 17-frame window peaks ~3.4 GB of encoder activations,
-        # which on top of the 4.9 GB params + rollout state exhausted HBM at
-        # the chunk-2 boundary of a full-size multi-chunk rollout. Moments
-        # are re-concatenated before the single gaussian_sample call, so the
+        # instead, ref pipeline.py:215; chunked == full exactly, so the
+        # window size is a pure memory/speed knob). Batch rows (rgb /
+        # disparity streams) encode SERIALLY: one batch-2 call measured 0.62x
+        # the serial pair at full size (scripts/probe_boundary_encode.py —
+        # same finding as decode), and a batch-2 17-frame window's ~3.4 GB
+        # of encoder activations exhausted HBM at the chunk-2 boundary of a
+        # full-size rollout. The default window 16 ([17,8] windows per row,
+        # ~1.7 GB transient) measured 0.82 s/pair vs window 8's 0.94 s;
+        # window 24 (one 25-frame init window, 0.71 s) transiently holds
+        # ~2.5 GB and is too close to the in-context OOM line. Moments are
+        # re-concatenated before the single gaussian_sample call, so the
         # PRNG pairing (and hence every output) is unchanged.
         chunked = x.shape[2] > 17
         if self.mesh is not None:
@@ -502,7 +517,8 @@ class InferencePipeline:
             return gaussian_sample(moments, key)
         parts = [vae_encode(self.vcfg, self.params["vae"],
                             x[i:i + 1].astype(self.dtype),
-                            temporal_chunk=chunked, window_size=8,
+                            temporal_chunk=chunked,
+                            window_size=self.encode_window,
                             use_tiling=self.use_tiling)
                  for i in range(x.shape[0])]
         moments = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
@@ -693,7 +709,8 @@ class InferencePipeline:
                 num_rows=num_rows,
                 history_downsample_ratio=cfg.history_downsample_ratio,
                 zero_depth=cfg.no_need_depth, attn_impl=self.attn_impl,
-                recompute=recompute, adaptive_tau=self.adaptive_tau)
+                recompute=recompute, adaptive_tau=self.adaptive_tau,
+                mesh=self.mesh)
             intermed.append(latents)
         return intermed
 

@@ -40,6 +40,7 @@ import numpy as np
 from .pipeline import (InferencePipeline, _disparity_postmap,
                        _pyramid_list, _quantize_roundtrip)
 from .raymap import raymap_to_camera
+from .utils.profiling import force_completion
 
 
 class InteractiveSession:
@@ -595,6 +596,39 @@ class SessionServer:
             self._thread.join(timeout=5)
 
 
+def prewarm(pipe: InferencePipeline, height: int = 384, width: int = 512,
+            reuse_decoder_cache: bool = False, seed: int = 0,
+            log=print) -> float:
+    """Compile every serving-path program by driving one throwaway session
+    across a chunk boundary, BEFORE the server accepts traffic.
+
+    The axon remote compiler does not persist the big TPU executables across
+    processes (CLAUDE.md): a fresh serve process pays minutes of pipeline
+    compiles on its first session. Without pre-warming, that cost lands on
+    the first client request; with it, the port only opens once the chip is
+    ready (orchestrator health checks see connection-refused until then).
+    Steps one unit past the boundary so the chunk>=2 programs (3-row CFG
+    denoise, carry re-encode, cache prime / reuse) compile too. Returns the
+    warm seconds; measured end-to-end by scripts/probe_cold_start.py.
+    """
+    t0 = time.time()
+    cfg = pipe.cfg
+    sess = InteractiveSession(pipe, reuse_decoder_cache=reuse_decoder_cache)
+    img = np.asarray(jax.random.uniform(jax.random.PRNGKey(seed),
+                                        (1, 3, height, width),
+                                        minval=-1.0, maxval=1.0))
+    sess.start(img, seed=seed)
+    # units 1..T-1 fill chunk 1; one more crosses into chunk 2
+    n_steps = cfg.max_temporal_length
+    for i in range(n_steps):
+        out = sess.step("Move forward. The perspective hasn't changed.")
+    force_completion(out["rgb"])
+    dt = time.time() - t0
+    log(f"[serve] prewarm: {n_steps} units (one chunk + boundary) "
+        f"compiled+run in {dt:.1f}s")
+    return dt
+
+
 def cli():
     """python -m deepv_tpu.serve --model_path ./ckpts [--port 8631] …"""
     import argparse
@@ -634,6 +668,12 @@ def cli():
                    help="flow-caching mode: none | skip_odd | adaptive[:tau] "
                         "(error-bounded adaptive caching; overrides the "
                         "--fast preset's choice)")
+    p.add_argument("--no_prewarm", action="store_true",
+                   help="skip the pre-bind warmup session; the first client "
+                        "request then pays the full cold compile (~minutes "
+                        "on a fresh process)")
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--width", type=int, default=512)
     args = p.parse_args()
 
     model_cfg = create_model_config(args.model_path,
@@ -660,6 +700,17 @@ def cli():
                              tp_shards=args.tp_shards, fast=args.fast,
                              flow_cache=args.flow_cache,
                              carry_latents=args.carry_latents)
+    if not args.no_prewarm:
+        # warm BEFORE binding the port: a fresh process owes minutes of
+        # non-persistable TPU compiles (prewarm docstring) and they must not
+        # land on the first client request. Streams warm serially — each
+        # pipeline's programs compile through the one remote compiler, and
+        # its serialisation means parallel warms would not finish sooner.
+        pipes = pipe if isinstance(pipe, list) else [pipe]
+        for i, pp in enumerate(pipes):
+            print(f"[serve] prewarming stream {i}/{len(pipes)} …")
+            prewarm(pp, height=args.height, width=args.width,
+                    reuse_decoder_cache=args.reuse_decoder_cache)
     server = SessionServer(pipe, host=args.host, port=args.port,
                            reuse_decoder_cache=args.reuse_decoder_cache)
     port = server.start()

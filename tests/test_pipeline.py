@@ -375,3 +375,29 @@ def test_on_frames_streaming_callback(pipe):
     assert all(w[0][2] == 8 for w in windows[1:])
     total = sum(w[0][2] for w in windows)
     assert total == out["pred_img"].shape[2] == 57
+
+
+def test_fast_composition_deviation_bounded(pipe):
+    """The full quality-gated fast composition (flow_cache=skip_odd + int8
+    VAE convs + int8 MMDiT linears) vs the exact rollout on the SAME seed:
+    outputs must actually deviate (the gates are real approximations) but
+    stay bounded (pixels remain in-range and close on average) — the
+    tiny-config counterpart of bench.py's fast_deviation_* metrics
+    (VERDICT r3 #3: no test exercised the composition's output quality)."""
+    from dataclasses import replace
+
+    vcfg_fast = replace(pipe.vcfg, conv_impl="int8")
+    fpipe = InferencePipeline(pipe.cfg, pipe.mcfg, vcfg_fast, pipe.params,
+                              pipe.text_embeds, dtype=jnp.float32,
+                              flow_cache="skip_odd", denoise_int8=True)
+    batch = make_batch()
+    exact = pipe.generate(batch, seed=77)
+    fast = fpipe.generate(batch, seed=77)
+    a = np.asarray(exact["pred_img"], np.float32)
+    b = np.asarray(fast["pred_img"], np.float32)
+    assert a.shape == b.shape
+    assert np.isfinite(b).all()
+    dev = np.abs(a - b) * 127.5              # 8-bit pixel units
+    assert dev.max() > 0.0                   # the gates really approximate
+    assert float(np.mean(dev)) < 48.0        # ...but the rollout stays close
+    assert float(np.percentile(dev, 95)) < 128.0

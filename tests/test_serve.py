@@ -406,3 +406,20 @@ def test_server_reuse_decoder_cache_flag(pipe):
         assert out["frames_total"] > pipe.cfg.max_temporal_length
     finally:
         server.stop()
+
+
+def test_prewarm_compiles_serving_path(pipe):
+    """serve.prewarm drives one throwaway session across a chunk boundary
+    (compiling chunk-1 AND chunk>=2 programs) and leaves the pipeline
+    reusable: a real session afterwards steps correctly from the first unit."""
+    from deepv_tpu.serve import prewarm
+
+    logs = []
+    dt = prewarm(pipe, height=H, width=W, seed=5, log=logs.append)
+    assert dt > 0 and logs and "prewarm" in logs[0]
+
+    sess = InteractiveSession(pipe)
+    sess.start(np.asarray(make_batch()["img"]), seed=6)
+    out = sess.step("Move forward. The perspective hasn't changed.")
+    assert out["rgb"].shape[1] == 3 and out["frames_total"] > 0
+    assert np.isfinite(np.asarray(out["rgb"], np.float32)).all()

@@ -12,9 +12,6 @@ covering tokenisation, padding, EOS pooling, and masking, not just tower
 math (tests/test_text_encoders.py already covers the bare towers).
 """
 
-import json
-import string
-
 import numpy as np
 import pytest
 import jax
@@ -31,101 +28,15 @@ from deepv_tpu.models.vae import init_vae_params
 from deepv_tpu.models.mmdit import init_mmdit_params
 from deepv_tpu.pipeline import InferencePipeline
 
-# facade contract dims: pooled = CLIP_PROJ_L + CLIP_PROJ_G, seq = T5_D
-CLIP_PROJ = 8
-T5_D = 24
-
-
-def _write_clip_tokenizer(d):
-    """Character-level CLIP BPE: every printable char as both inner and
-    word-final token, no merges; <|endoftext|> gets the largest id (the
-    property HF's legacy argmax pooling relies on)."""
-    d.mkdir(parents=True, exist_ok=True)
-    vocab, i = {"<|startoftext|>": 0}, 1
-    for c in string.printable[:95]:
-        vocab[c] = i
-        vocab[c + "</w>"] = i + 1
-        i += 2
-    vocab["<|endoftext|>"] = i
-    (d / "vocab.json").write_text(json.dumps(vocab))
-    (d / "merges.txt").write_text("#version: 0.2\n")
-    return len(vocab)
-
-
-def _write_t5_tokenizer(d):
-    """Word-level T5-fast tokenizer over the action vocabulary's words."""
-    from tokenizers import Tokenizer, models, pre_tokenizers, processors
-    d.mkdir(parents=True, exist_ok=True)
-    words = set()
-    for s in action_vocabulary():
-        words.update(s.split())
-    words.update(["empty", "A", "red", "car", "drives", "down", "the", "road."])
-    vocab = {"<pad>": 0, "</s>": 1, "<unk>": 2}
-    for w in sorted(words):
-        vocab[w] = len(vocab)
-    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
-    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
-    tok.post_processor = processors.TemplateProcessing(
-        single="$A </s>", special_tokens=[("</s>", 1)])
-    tok.enable_padding(pad_id=0, pad_token="<pad>")
-    tok.save(str(d / "tokenizer.json"))
-    (d / "tokenizer_config.json").write_text(json.dumps(
-        {"tokenizer_class": "T5TokenizerFast", "unk_token": "<unk>",
-         "eos_token": "</s>", "pad_token": "<pad>", "model_max_length": 512}))
-    (d / "special_tokens_map.json").write_text(json.dumps(
-        {"eos_token": "</s>", "pad_token": "<pad>", "unk_token": "<unk>"}))
-    return len(vocab)
-
-
-def _save_tower(d, model, cfg_fields):
-    from safetensors.numpy import save_file
-    d.mkdir(parents=True, exist_ok=True)
-    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
-    save_file(state, str(d / "model.safetensors"))
-    (d / "config.json").write_text(json.dumps(cfg_fields))
+from snapshot_utils import CLIP_PROJ, T5_D, write_text_snapshot
 
 
 @pytest.fixture(scope="module")
 def ckpt(tmp_path_factory):
     """Synthesized checkpoint dir + the torch oracle towers it was built
-    from."""
-    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
-    from transformers import T5Config, T5EncoderModel
-
+    from (snapshot_utils.write_text_snapshot)."""
     root = tmp_path_factory.mktemp("text_ckpt")
-    clip_vocab = _write_clip_tokenizer(root / "tokenizer")
-    _write_clip_tokenizer(root / "tokenizer_2")
-    t5_vocab = _write_t5_tokenizer(root / "tokenizer_3")
-
-    eot = clip_vocab - 1
-    ccfg = CLIPTextConfig(
-        vocab_size=clip_vocab, hidden_size=32, intermediate_size=64,
-        num_hidden_layers=2, num_attention_heads=4,
-        max_position_embeddings=77, projection_dim=CLIP_PROJ,
-        eos_token_id=eot, bos_token_id=0, pad_token_id=eot,
-        hidden_act="quick_gelu")
-    towers = {}
-    for i, name in enumerate(["text_encoder", "text_encoder_2"]):
-        torch.manual_seed(10 + i)
-        m = CLIPTextModelWithProjection(ccfg).eval()
-        # the real SD3 configs carry the legacy eos_token_id=2; our tiny
-        # vocab's EOT is still the largest id, so argmax pooling (the
-        # eos_token_id==2 path in clip_encode) finds the same position
-        _save_tower(root / name, m, {
-            "num_attention_heads": 4, "hidden_act": "quick_gelu",
-            "eos_token_id": 2})
-        towers[name] = m
-
-    tcfg = T5Config(
-        vocab_size=t5_vocab, d_model=T5_D, d_kv=8, d_ff=32, num_layers=2,
-        num_heads=4, relative_attention_num_buckets=32,
-        relative_attention_max_distance=128, dense_act_fn="gelu_new",
-        is_gated_act=True, feed_forward_proj="gated-gelu")
-    torch.manual_seed(12)
-    t5 = T5EncoderModel(tcfg).eval()
-    _save_tower(root / "text_encoder_3", t5, {
-        "num_heads": 4, "feed_forward_proj": "gated-gelu"})
-    towers["text_encoder_3"] = t5
+    towers = write_text_snapshot(root)
     return root, towers
 
 
