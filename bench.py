@@ -367,7 +367,10 @@ def main():
     # the boundary buckets as upper bounds. encode = conditioning/carry
     # re-encodes AND the retrieved-history encode; other = pose chaining,
     # noise sampling, host bookkeeping.
-    if frames_l is not None and have_budget("itemisation", 120):
+    # est 120 s itemisation + 450 s reserved for the fast section below: the
+    # itemisation is a diagnostic and must never starve the fast composition
+    # (a metric-of-record deliverable) out of the deadline
+    if frames_l is not None and have_budget("itemisation", 570):
         try:
             pipe.timer = PhaseTimer(sync=True)
             t0 = time.time()
@@ -453,8 +456,18 @@ def main():
     if fpipe is not None and frames_l is not None and have_budget("fast_sustained", 180):
         try:
             t0 = time.time()
-            out_sf = fpipe.generate(long_batch, seed=8)   # compile pass (boundaries)
-            sync(out_sf["pred_img"]); sync(out_sf["pred_disparity"])
+            try:
+                out_sf = fpipe.generate(long_batch, seed=8)   # compile pass (boundaries)
+                sync(out_sf["pred_img"])
+            except Exception as e:
+                # the remote compile helper occasionally drops a response
+                # mid-read ("response body closed…", seen in the r4
+                # shakedown); one retry re-requests the same compiles
+                print(f"[bench] fast sustained warmup retry after "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                out_sf = fpipe.generate(long_batch, seed=8)
+                sync(out_sf["pred_img"])
+            sync(out_sf["pred_disparity"])
             print(f"[bench] sustained-fast warmup: {time.time()-t0:.1f}s",
                   file=sys.stderr)
             del out_sf; gc.collect()
