@@ -78,24 +78,15 @@ def sync(x) -> float:
 
 
 def fast_params(mcfg, vcfg, dtype):
-    """Full structure-shaped parameter tree as ONE jitted program: the
-    package's own fan-in-scaled normal init under the 'rbg' PRNG (each draw
-    is a single RngBitGenerator HLO, so the fused program compiles in
-    ~175 s — threefry keys or per-leaf sin(iota) fills are compile-bound at
-    this leaf count, scripts/probe_fastparams.py). These are the weights the
-    deviation metrics are measured on (VERDICT r3 #3): realistic magnitude
-    distribution per layer, not an artificial sine pattern."""
-    from deepv_tpu.models.mmdit import init_mmdit_params
-    from deepv_tpu.models.vae import init_vae_params
+    """Full structure-shaped parameter tree: the package's own fan-in-scaled
+    normal init as ONE fused rbg-PRNG program (io/weights.random_params —
+    ~125-175 s at deployment size; threefry keys or per-leaf sin(iota) fills
+    are compile-bound at this leaf count, scripts/probe_fastparams.py).
+    These are the weights the deviation metrics are measured on: realistic
+    per-layer magnitude distributions, not an artificial sine pattern."""
+    from deepv_tpu.io.weights import random_params
 
-    @jax.jit
-    def build():
-        k = jax.random.key(0, impl="rbg")
-        k1, k2 = jax.random.split(k)
-        return {"mmdit": init_mmdit_params(k1, mcfg, dtype=dtype),
-                "vae": init_vae_params(k2, vcfg, dtype=dtype)}
-
-    return build()
+    return random_params(mcfg, vcfg, dtype=dtype, seed=0)
 
 
 def attention_parity_on_chip(mcfg, H, W, ctx_len=77) -> float:

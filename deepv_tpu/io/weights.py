@@ -128,14 +128,25 @@ def load_checkpoint(model_path: str, dtype=jnp.bfloat16
 
 def random_params(mcfg: MMDiTConfig, vcfg: VAEConfig, dtype=jnp.bfloat16,
                   seed: int = 0) -> dict:
+    """Full random parameter tree as ONE jitted program under the 'rbg'
+    PRNG: each draw lowers to a single RngBitGenerator HLO, so the fused
+    program compiles in ~2 min at deployment size — the eager per-leaf
+    threefry version paid a tunnel round-trip per leaf (~hundreds), and a
+    threefry-keyed fused program is compile-bound (scripts/
+    probe_fastparams.py). This is the `--random_weights` cold-start path."""
     import jax
     from ..models.mmdit import init_mmdit_params
     from ..models.vae import init_vae_params
-    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-    return {
-        "mmdit": init_mmdit_params(k1, mcfg, dtype=dtype),
-        "vae": init_vae_params(k2, vcfg, dtype=dtype),
-    }
+
+    @jax.jit
+    def build():
+        k1, k2 = jax.random.split(jax.random.key(seed, impl="rbg"))
+        return {
+            "mmdit": init_mmdit_params(k1, mcfg, dtype=dtype),
+            "vae": init_vae_params(k2, vcfg, dtype=dtype),
+        }
+
+    return build()
 
 
 def convert_text_embeds_pt(pt_path: str, npz_path: str) -> None:
