@@ -334,7 +334,10 @@ class InferencePipeline:
         self.decode_window = decode_window
         #: temporal window for the chunked carry re-encodes (must be a
         #: multiple of the encoder's 8x temporal downsample; values are
-        #: window-independent — chunked == full exactly)
+        #: window-independent — chunked == full exactly). Applies to the
+        #: single-device path; the spatial-CP mesh path keeps its own
+        #: conservative window 8 (per-shard activations already bound memory
+        #: differently there)
         self.encode_window = encode_window
         #: decode rgb+disparity as one batch-2 VAE call. Measured on the v5e
         #: (scripts/probe_decode.py): batch-2 decode is ~32% SLOWER than two
