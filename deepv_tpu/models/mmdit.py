@@ -28,6 +28,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 from ..config import MMDiTConfig
 from ..ops.basic import (gelu_tanh, init_linear, init_norm, layer_norm, linear,
@@ -357,7 +358,6 @@ def mmdit_forward(cfg: MMDiTConfig, params: dict,
         # matmul into the transpose and resolves the mismatch with an
         # "Involuntary full rematerialization" (MULTICHIP_r03.json tail;
         # the matching output-side pin sits after proj_out below)
-        from jax.sharding import NamedSharding, PartitionSpec
         _repl = NamedSharding(mesh, PartitionSpec())
         clips = [jax.lax.with_sharding_constraint(c, _repl) for c in clips]
         if history is not None:
@@ -432,7 +432,6 @@ def mmdit_forward(cfg: MMDiTConfig, params: dict,
         # unpatchify transpose below and resolves the mismatch with an
         # "Involuntary full rematerialization" every Euler step
         # (MULTICHIP_r03.json tail)
-        from jax.sharding import NamedSharding, PartitionSpec
         hidden = jax.lax.with_sharding_constraint(
             hidden, NamedSharding(mesh, PartitionSpec()))
 
