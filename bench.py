@@ -9,41 +9,65 @@ metric is the baseline's headline number; the other metrics of record
   {"metric": "gen_fps_chip", "value": N, "unit": "frames/s",
    "vs_baseline": N/4.0, "init_s": N,
    "denoise_steps_per_s": N, "ttff_p50_s": N, "attn_parity_max_err": N,
-   "sustained_fps": N, "chunk2plus_new_frames_per_s": N,
-   "gen_fps_fast": N, "sustained_fps_fast": N,
-   "fast_deviation_p95": N, "fast_deviation_mean": N, ...}
+   "sustained_fps": N, "sustained_runs_s": [...],
+   "chunk2plus_new_frames_per_s": N,
+   "sustained_denoise_s": N, ... itemisation ...,
+   "sustained_fps_adaptive": N, "adaptive_deviation_p95": N, ...,
+   "sustained_fps_reuse": N, "reuse_deviation_p95": N, ...,
+   "gen_fps_fast": N, "sustained_fps_fast": N, ...,
+   "section_s": {...}, "skipped": [...]}
 
-Budget discipline (VERDICT r3 #1): the whole run must fit the driver's
-~30-minute budget. ``BENCH_DEADLINE_S`` (default 1680 s) is a wall-clock
-deadline from process start; every optional section declares a cost
-estimate and is skipped (metrics stay null, listed in "skipped") once the
-deadline would be crossed. ``gen_fps_chip`` is the median of
-``BENCH_CHUNKS`` (default 3) timed chunks, with the param-init time
-recorded as ``init_s`` so tunnel-load outliers are visible in the artifact.
+Budget discipline (VERDICT r4 #1): the whole run must fit the driver's
+~30-minute budget WITH margin — round 4 finished 6 s before the 1800 s
+driver kill. ``BENCH_DEADLINE_S`` (default 1500 s) is a wall-clock deadline
+from process start; every optional section declares a cost estimate
+(scaled by the measured warmup cost, a tunnel-speed proxy) and is skipped
+(metrics stay null, listed in "skipped" — including when a prerequisite
+section didn't run) once the deadline would be crossed. Sections are
+ordered so the metrics of record land first: steady chunk -> denoise
+itemisation -> ttff -> sustained (+ its phase itemisation) -> the
+reuse/boundary/adaptive deviation modes -> the int8 fast family last.
+``section_s`` records each section's measured wall so the estimates stay
+calibrated against reality.
+
+``gen_fps_chip`` is the median of ``BENCH_CHUNKS`` (default 3) timed
+chunks, with the param-init time recorded as ``init_s`` so tunnel-load
+outliers are visible in the artifact.
 
 ``sustained_fps`` is the honest steady-state autoregressive number: ONE
 continuous >=3-chunk rollout (first chunk + chunk boundaries with 3-row CFG,
 25-frame overlap handling, carry re-encode, retrieved history — ref
-pipeline.py:316-411 semantics) divided by its whole wall-clock;
+pipeline.py:316-411 semantics) divided by its whole wall-clock. It is a
+single plain timed rollout — no best-of-N selection (VERDICT r4 #7); the
+raw wall times of every sustained rollout this process ran (including the
+sync-itemised one, labelled) are in ``sustained_runs_s``.
 ``chunk2plus_new_frames_per_s`` isolates the post-first-chunk regime.
+
+``sustained_fps_adaptive`` is the boundary speed/fidelity MIDDLE mode
+(VERDICT r4 #2): flow_cache="adaptive:<tau>" (error-bounded denoise
+caching, tau from ``BENCH_ADAPTIVE_TAU``, default 0.5) with the exact
+boundary semantics kept — measured with its deviation vs the exact
+sustained rollout on identical seeds, between "exact 3.5 new frames/s"
+and the reuse/carry modes' p95 ~43 8-bit units.
+
 ``gen_fps_fast`` is the single-chunk measurement with the quality-gated
 fast modes on (flow_cache="skip_odd" + int8 VAE convs + int8 MMDiT
 linears), and ``fast_deviation_p95``/``_mean`` quantify that gate: |Δ| in
 8-bit pixel units vs the exact rollout on identical seeds.
 
-Weights are STRUCTURE-SHAPED (VERDICT r3 #3): the package's own
-``init_mmdit_params``/``init_vae_params`` fan-in-scaled normals, jitted as
-ONE program under the 'rbg' PRNG so the whole 2.43 B-param tree
-materialises in one fused dispatch (~175 s measured; threefry or per-leaf
-sines are compile-bound — scripts/probe_fastparams.py). Real HF weights are
-not fetchable here; fan-in-scaled randoms are the honest stand-in for the
-deviation metrics, unlike round 3's 0.02*sin(iota) fill.
+Weights are STRUCTURE-SHAPED: the package's own fan-in-scaled normal init,
+jitted as ONE program under the 'rbg' PRNG so the whole 2.43 B-param tree
+materialises in one fused dispatch (~125-210 s measured; threefry or
+per-leaf sines are compile-bound — scripts/probe_fastparams.py). Real HF
+weights are not fetchable here; fan-in-scaled randoms are the honest
+stand-in for the deviation metrics.
 
 Env knobs:
   BENCH_PRESET=tiny        quick smoke preset
   BENCH_CHUNKS=N           steady chunks to time (default 3, median)
-  BENCH_DEADLINE_S=N       wall-clock budget (default 1680)
+  BENCH_DEADLINE_S=N       wall-clock budget (default 1500)
   BENCH_SUSTAINED_CHUNKS=N sustained rollout length (default 3)
+  BENCH_ADAPTIVE_TAU=X     adaptive middle-mode error bound (default 0.5)
   BENCH_STREAM=1           streaming decode for the steady-chunk metric
 """
 
@@ -63,7 +87,7 @@ import jax
 import jax.numpy as jnp
 
 START = time.time()
-DEADLINE = float(os.environ.get("BENCH_DEADLINE_S", "1680"))
+DEADLINE = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
 
 
 def time_left() -> float:
@@ -80,7 +104,7 @@ def sync(x) -> float:
 def fast_params(mcfg, vcfg, dtype):
     """Full structure-shaped parameter tree: the package's own fan-in-scaled
     normal init as ONE fused rbg-PRNG program (io/weights.random_params —
-    ~125-175 s at deployment size; threefry keys or per-leaf sin(iota) fills
+    ~125-210 s at deployment size; threefry keys or per-leaf sin(iota) fills
     are compile-bound at this leaf count, scripts/probe_fastparams.py).
     These are the weights the deviation metrics are measured on: realistic
     per-layer magnitude distributions, not an artificial sine pattern."""
@@ -93,8 +117,7 @@ def attention_parity_on_chip(mcfg, H, W, ctx_len=77) -> float:
     """Compiled Pallas kernel vs jnp reference at the deployment packed shape
     (stage-2 layout: padded old clip + mid + last + current unit). Returns the
     max abs error; asserts it is within f32 tolerance. Runs EARLY (before the
-    expensive sections) so the artifact always carries it — round 3's ran
-    last and was never reached."""
+    expensive sections) so the artifact always carries it."""
     from deepv_tpu.ops.attention import attention_pallas, attention_reference
 
     p = 2
@@ -135,6 +158,7 @@ def main():
     from deepv_tpu.config import MMDiTConfig, PipelineConfig, VAEConfig
     from deepv_tpu.io.text_embeds import random_text_embeds
     from deepv_tpu.pipeline import InferencePipeline
+    from deepv_tpu.utils.profiling import PhaseTimer
 
     preset = os.environ.get("BENCH_PRESET", "full")
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "3"))
@@ -166,32 +190,58 @@ def main():
         "vs_baseline": None, "init_s": None,
         "denoise_steps_per_s": None, "ttff_p50_s": None,
         "attn_parity_max_err": None,
-        "sustained_fps": None, "chunk2plus_new_frames_per_s": None,
+        "sustained_fps": None, "sustained_runs_s": [],
+        "chunk2plus_new_frames_per_s": None,
         "sustained_denoise_s": None, "sustained_decode_s": None,
         "sustained_prime_s": None, "sustained_encode_s": None,
-        "sustained_other_s": None,
-        "gen_fps_fast": None, "sustained_fps_fast": None,
-        "fast_deviation_p95": None, "fast_deviation_mean": None,
+        "sustained_other_s": None, "sustained_itemised_wall_s": None,
+        "sustained_fps_adaptive": None, "adaptive_tau": None,
+        "adaptive_deviation_p95": None, "adaptive_deviation_mean": None,
         "sustained_fps_reuse": None, "reuse_deviation_p95": None,
         "reuse_deviation_mean": None,
         "sustained_fps_boundary": None, "boundary_deviation_p95": None,
         "boundary_deviation_mean": None,
+        "gen_fps_fast": None, "sustained_fps_fast": None,
+        "fast_deviation_p95": None, "fast_deviation_mean": None,
         "sustained_fps_allfast": None, "allfast_deviation_p95": None,
         "allfast_deviation_mean": None,
-        "skipped": [],
+        "section_s": {}, "skipped": [],
     }
 
     def emit():
         print(json.dumps(M), flush=True)
 
-    def have_budget(section: str, est_s: float) -> bool:
-        if time_left() >= est_s:
+    # estimate scaling: the warmup chunk's measured cost vs its nominal cost
+    # is the best available proxy for today's tunnel-compile speed; applied
+    # to the compile-heavy section estimates so a slow tunnel day skips
+    # sections instead of overrunning the driver kill (VERDICT r4 weak #1)
+    est_scale = [1.0]
+    WARMUP_NOMINAL = 330.0
+
+    def have_budget(section: str, est_s: float, scaled: bool = True) -> bool:
+        est = est_s * (est_scale[0] if scaled else 1.0)
+        if time_left() >= est:
             return True
-        print(f"[bench] SKIP {section}: est {est_s:.0f}s > {time_left():.0f}s "
+        print(f"[bench] SKIP {section}: est {est:.0f}s > {time_left():.0f}s "
               f"left of BENCH_DEADLINE_S={DEADLINE:.0f}", file=sys.stderr)
         M["skipped"].append(section)
         emit()
         return False
+
+    def skip_no_prereq(section: str, why: str) -> None:
+        # a section whose prerequisite (e.g. the sustained rollout) didn't
+        # run is SKIPPED and says so in the artifact — silent nulls
+        # contradicted the docstring in round 4 (ADVICE r4)
+        print(f"[bench] SKIP {section}: {why}", file=sys.stderr)
+        M["skipped"].append(f"{section}:{why}")
+        emit()
+
+    section_t0 = [START]
+
+    def section_done(name: str):
+        now = time.time()
+        M["section_s"][name] = round(now - section_t0[0], 1)
+        section_t0[0] = now
 
     rnd = lambda x, n=3: None if x is None else round(x, n)
 
@@ -203,6 +253,7 @@ def main():
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"[bench] params ready ({n_params/1e9:.2f}B) in {init_s:.1f}s",
           file=sys.stderr)
+    section_done("init")
 
     embeds = random_text_embeds(0, action_vocabulary(),
                                 joint_dim=mcfg.joint_attention_dim,
@@ -215,14 +266,15 @@ def main():
                              decode_batched=(preset == "tiny"),
                              stream_decode=os.environ.get("BENCH_STREAM") == "1")
 
-    # cheap and previously never-reached: kernel parity on the real chip
-    # BEFORE anything expensive (VERDICT r3 weak #5)
+    # cheap kernel parity on the real chip BEFORE anything expensive
     if jax.default_backend() == "tpu" or pipe.attn_impl == "pallas":
         try:
             M["attn_parity_max_err"] = attention_parity_on_chip(mcfg, H, W)
         except Exception as e:
             print(f"[bench] attention parity failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+    section_done("attn_parity")
+    emit()   # checkpoint: init_s + parity land even if the warmup dies
 
     img = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, H, W),
                              minval=-1.0, maxval=1.0)
@@ -230,6 +282,12 @@ def main():
     prompts = np.array(["empty"] + ["Move forward. The perspective hasn't changed."] * 7)
     batch = {"img": img, "prompt": prompts, "prompt_type": "action"}
 
+    # warmup runs with the sync-timer ON: the per-phase force_completion
+    # reduce programs compile 1-2 s EACH over the tunnel on first use, so
+    # compiling them here (alongside the model programs) keeps the later
+    # sync-timer measurement chunk and the sustained itemisation clean
+    # (CLAUDE.md round-4 note; r3's "encode 13.37 s" artifact)
+    pipe.timer = PhaseTimer(sync=True)
     t0 = time.time()
     out = pipe.generate(batch, seed=0)
     canary = sync(out["pred_img"])
@@ -239,32 +297,42 @@ def main():
     assert math.isfinite(canary), "NaN/inf pixels in the warmup chunk"
     print(f"[bench] warmup chunk ({frames} frames): {warm:.1f}s (incl. compile)",
           file=sys.stderr)
+    est_scale[0] = min(max(warm / WARMUP_NOMINAL, 0.7), 3.0)
+    print(f"[bench] tunnel estimate scale: {est_scale[0]:.2f}", file=sys.stderr)
+    pipe.timer = PhaseTimer(sync=False)
+    del out
+    gc.collect()
+    section_done("warmup")
 
     chunk_times = []
+    steady_ref_np = None
     for i in range(n_chunks):
         t0 = time.time()
         out = pipe.generate(batch, seed=i + 1)
         sync(out["pred_img"])
         sync(out["pred_disparity"])
         chunk_times.append(time.time() - t0)
-    dt = sorted(chunk_times)[len(chunk_times) // 2]   # median (VERDICT r3 #4)
+        if i == n_chunks - 1:
+            # host copy of the LAST steady chunk: the exact-output reference
+            # for the fast section's deviation (same seed there)
+            steady_ref_np = np.asarray(out["pred_img"], np.float32)
+        del out
+    dt = sorted(chunk_times)[len(chunk_times) // 2]   # median
     fps = frames / dt
     M["value"] = round(fps, 3)
     M["vs_baseline"] = round(fps / 4.0, 3)
     print(f"[bench] steady chunks {[round(t, 2) for t in chunk_times]}s "
           f"-> median {dt:.2f}s -> {fps:.2f} frames/s", file=sys.stderr)
+    gc.collect()
+    section_done("steady")
     emit()
 
     # -- metric of record 2: denoise steps/s (synced-timer chunk) ------------
-    # (runs BEFORE the sustained/fast sections: the sync-timer methodology is
-    # only clean while the exact pipe's programs are the sole device
-    # residents — measured 2.6x distortion when run after them.) TWO passes:
-    # the first pass compiles the per-shape force_completion reduce programs
-    # over the tunnel (~1-2 s each — this is what inflated round 3's
-    # phase numbers); the second pass is the measurement.
-    from deepv_tpu.utils.profiling import PhaseTimer
-    pipe.timer = PhaseTimer(sync=True)
-    pipe.generate(batch, seed=99)
+    # one pass suffices: the warmup chunk above already ran under the sync
+    # timer, so every per-phase reduce program for the steady shapes is
+    # compiled. Runs BEFORE the sustained/fast sections — the sync-timer
+    # methodology is only clean while the exact pipe's programs are the sole
+    # device residents (measured 2.6x distortion when run after them).
     pipe.timer = PhaseTimer(sync=True)
     pipe.generate(batch, seed=99)
     d = pipe.timer.stats().get("denoise_unit", {"total_s": float("nan"), "count": 0})
@@ -275,14 +343,20 @@ def main():
           f"-> {steps_per_s:.1f} steps/s", file=sys.stderr)
     print(f"[bench] phases: {json.dumps(pipe.timer.stats())}", file=sys.stderr)
     pipe.timer = PhaseTimer(sync=False)
+    gc.collect()
+    section_done("denoise_sync")
     emit()
 
     # -- metric of record 3: p50 time-to-first-frame (streaming mode) --------
-    if have_budget("ttff", 250):
+    # 1 compile run + 2 timed runs (VERDICT r4 #1b); with two samples the
+    # reported p50 is the LARGER (conservative). The streaming window
+    # programs are shared with the exact pipe's decode at window 1, so the
+    # compile run mostly re-verifies cached programs.
+    if have_budget("ttff", 90):
         spipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
                                   stream_decode=True)
         ttffs = []
-        for i in range(4):   # first run compiles the streaming decode programs
+        for i in range(3):   # first run compiles any streaming-only programs
             marks = []
 
             def mark(rgb, disp):
@@ -305,6 +379,7 @@ def main():
         # 4.9 GB; each 121-frame rollout output is ~0.3 GB on device)
         del spipe, out_s
         gc.collect()
+        section_done("ttff")
         emit()
 
     # -- sustained autoregressive rate: ONE continuous >=3-chunk rollout -----
@@ -317,6 +392,12 @@ def main():
     # rollout at full size exhausts HBM (scripts/probe_mem.py) — sustained
     # is measured on the end-of-chunk decode path, like the single-chunk
     # metric of record.
+    #
+    # Three rollouts: a sync-timer WARMUP (compiles the boundary programs
+    # AND their sync-reduce shapes; numbers discarded), ONE plain timed
+    # rollout (the metric of record — no best-of-N selection), and ONE
+    # sync-itemised rollout (the phase breakdown backing the saturation
+    # analysis). All raw walls land in sustained_runs_s.
     sus_chunks = int(os.environ.get("BENCH_SUSTAINED_CHUNKS", "3"))
     n_unit_cfg = pcfg.max_temporal_length - pcfg.num_input_unit
     long_prompts = np.array(
@@ -325,7 +406,8 @@ def main():
     long_batch = {"img": img, "prompt": long_prompts, "prompt_type": "action"}
     frames_l = None
     out_l_np = None
-    if have_budget("sustained", 540):
+    if have_budget("sustained", 420):
+        pipe.timer = PhaseTimer(sync=True)
         t0 = time.time()
         out_l = pipe.generate(long_batch, seed=7)     # compile pass (boundary programs)
         canary = sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
@@ -334,45 +416,40 @@ def main():
         assert math.isfinite(canary), "NaN/inf pixels in the sustained rollout"
         print(f"[bench] sustained warmup ({sus_chunks} chunks, {frames_l} frames): "
               f"{warm_l:.1f}s (incl. compile)", file=sys.stderr)
+        pipe.timer = PhaseTimer(sync=False)
         del out_l; gc.collect()   # free the warmup's ~0.3 GB device output
-        # the single-rollout metric shows ~10% tunnel/device variance
-        # (measured 4.34/4.31/3.91 fps across identical runs) — time it
-        # twice when the deadline allows and keep the better rollout
-        dts = []
-        for rep in range(2):
-            t0 = time.time()
-            out_l = pipe.generate(long_batch, seed=8)
-            sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
-            dts.append(time.time() - t0)
-            if rep == 0 and time_left() < 640:
-                break
-            if rep == 0:
-                del out_l; gc.collect()
-        dt_l = min(dts)
+
+        t0 = time.time()
+        out_l = pipe.generate(long_batch, seed=8)
+        sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
+        dt_l = time.time() - t0
+        M["sustained_runs_s"].append(round(dt_l, 2))
         M["sustained_fps"] = round(frames_l / dt_l, 3)
         # isolate chunk>=2: subtract the separately-measured first-chunk time
+        # (the steady median — both are plain timed runs of the same programs)
         M["chunk2plus_new_frames_per_s"] = round(
             (frames_l - frames) / max(dt_l - dt, 1e-9), 3)
-        print(f"[bench] sustained: {frames_l} frames / "
-              f"{[round(t, 1) for t in dts]}s (best {dt_l:.1f}) -> "
+        print(f"[bench] sustained: {frames_l} frames / {dt_l:.1f}s -> "
               f"{M['sustained_fps']:.2f} fps; chunk2+ new frames: "
               f"{M['chunk2plus_new_frames_per_s']:.2f}/s", file=sys.stderr)
         out_l_np = np.asarray(out_l["pred_img"], np.float32)   # host copy for
         del out_l                                              # the mode diffs
         gc.collect()
+        section_done("sustained")
         emit()
 
     # itemise where the sustained rollout's time goes: one more sustained
-    # rollout with per-phase device syncs. The phase-sync reduce programs
-    # were compiled by the double-pass denoise chunk above for the steady
-    # shapes; boundary-only shapes still pay a first-sync compile, so treat
-    # the boundary buckets as upper bounds. encode = conditioning/carry
-    # re-encodes AND the retrieved-history encode; other = pose chaining,
-    # noise sampling, host bookkeeping.
-    # est 120 s itemisation + 450 s reserved for the fast section below: the
-    # itemisation is a diagnostic and must never starve the fast composition
-    # (a metric-of-record deliverable) out of the deadline
-    if frames_l is not None and have_budget("itemisation", 570):
+    # rollout with per-phase device syncs. Every sync-reduce program
+    # (steady AND boundary shapes) was compiled by the sync-timer warmups
+    # above, so the phase buckets are clean — not first-sync-compile upper
+    # bounds. encode = conditioning/carry re-encodes AND the
+    # retrieved-history encode; other = pose chaining, noise sampling, host
+    # bookkeeping. The synced wall is also recorded as a (labelled) raw
+    # sustained sample — syncing serialises dispatch, so it reads slightly
+    # high, never low.
+    if frames_l is None:
+        skip_no_prereq("itemisation", "no-sustained")
+    elif have_budget("itemisation", 60):
         try:
             pipe.timer = PhaseTimer(sync=True)
             t0 = time.time()
@@ -393,6 +470,8 @@ def main():
             M["sustained_decode_s"] = rnd(dec, 2)
             M["sustained_encode_s"] = rnd(enc, 2)
             M["sustained_other_s"] = rnd(wall_i - den - dec - prm - enc, 2)
+            M["sustained_itemised_wall_s"] = round(wall_i, 2)
+            M["sustained_runs_s"].append(round(wall_i, 2))
             print(f"[bench] sustained itemisation ({wall_i:.1f}s synced wall): "
                   f"denoise {den:.2f}s, decode {dec:.2f}s, prime {prm:.2f}s, "
                   f"encode {enc:.2f}s, other {M['sustained_other_s']}s",
@@ -404,17 +483,118 @@ def main():
             out_i = None
         pipe.timer = PhaseTimer(sync=False)
         gc.collect()
+        section_done("itemisation")
         emit()
 
-    # -- quality-gated fast modes: rate AND measured deviation ---------------
+    # shared harness for the sustained fidelity/speed modes: warm rollout
+    # (compiles the mode's programs; output freed), timed rollout, deviation
+    # vs the exact sustained rollout on the identical seed, then release
+    # everything before the next section (HBM discipline)
+    def sustained_mode(section: str, fps_key: str, dev_prefix: str,
+                       est_s: float, make_pipe):
+        if frames_l is None:
+            skip_no_prereq(section, "no-sustained")
+            return
+        if not have_budget(section, est_s):
+            return
+        mode_pipe = out_m = None
+        try:
+            mode_pipe = make_pipe()
+            t0 = time.time()
+            try:
+                out_m = mode_pipe.generate(long_batch, seed=8)  # compile pass
+                sync(out_m["pred_img"])
+            except Exception as e:
+                # the remote compile helper occasionally drops a response
+                # mid-read ("response body closed…", seen in the r4
+                # shakedown); one retry re-requests the same compiles
+                print(f"[bench] {section} warmup retry after "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                out_m = mode_pipe.generate(long_batch, seed=8)
+                sync(out_m["pred_img"])
+            sync(out_m["pred_disparity"])
+            print(f"[bench] {section} warmup: {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            del out_m; out_m = None; gc.collect()
+            t0 = time.time()
+            out_m = mode_pipe.generate(long_batch, seed=8)
+            sync(out_m["pred_img"]); sync(out_m["pred_disparity"])
+            dt_m = time.time() - t0
+            M[fps_key] = rnd(frames_l / dt_m)
+            if dev_prefix is not None:
+                dev = np.abs(np.asarray(out_m["pred_img"], np.float32)
+                             - out_l_np) * 127.5
+                M[f"{dev_prefix}_deviation_p95"] = rnd(float(np.percentile(dev, 95)))
+                M[f"{dev_prefix}_deviation_mean"] = rnd(float(dev.mean()))
+                print(f"[bench] {section}: {frames_l} frames / {dt_m:.1f}s -> "
+                      f"{M[fps_key]:.2f} fps; deviation p95 "
+                      f"{M[f'{dev_prefix}_deviation_p95']:.2f} / mean "
+                      f"{M[f'{dev_prefix}_deviation_mean']:.2f} (8-bit units)",
+                      file=sys.stderr)
+            else:
+                print(f"[bench] {section}: {frames_l} frames / {dt_m:.1f}s -> "
+                      f"{M[fps_key]:.2f} fps", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] {section} section failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        finally:
+            del mode_pipe, out_m
+            gc.collect()
+            section_done(section)
+            emit()
+
+    # -- boundary optimisation: reuse_decoder_cache sustained rate + cost ----
+    # (skips the overlap cache-prime at every chunk boundary by carrying the
+    # decoder's conv caches; deviation vs the exact sustained rollout on the
+    # same seed quantifies the fidelity cost). End-of-chunk decode mode:
+    # pixels equal the streaming reuse mode's, the denoise programs are
+    # shared with the exact pipe, and the streaming rollout's extra HBM
+    # pressure (scripts/probe_mem.py) is avoided. Runs BEFORE the int8 fast
+    # family: these deviations are the round's key quality numbers and the
+    # section is cheaper (VERDICT r4 #1d).
+    sustained_mode(
+        "reuse", "sustained_fps_reuse", "reuse", 110,
+        lambda: InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
+                                  decode_window=pipe.decode_window,
+                                  decode_batched=(preset == "tiny"),
+                                  stream_decode=False, reuse_decoder_cache=True))
+
+    # composed boundary mode: reuse_decoder_cache + carry_latents (skip the
+    # overlap handling AND the rgb carry re-encode; disparity still
+    # re-encodes — pipeline.py carry_latents doc). Shares the reuse mode's
+    # decode programs (carry only drops one of the two serial per-row
+    # encodes)
+    sustained_mode(
+        "boundary", "sustained_fps_boundary", "boundary", 90,
+        lambda: InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
+                                  decode_window=pipe.decode_window,
+                                  decode_batched=(preset == "tiny"),
+                                  stream_decode=False, reuse_decoder_cache=True,
+                                  carry_latents=True))
+
+    # -- the boundary-frontier MIDDLE mode (VERDICT r4 #2): error-bounded ----
+    # adaptive flow caching with the exact boundary semantics kept. The
+    # denoise scan recompiles (its carry grows a drift reference), the
+    # decode/encode/prime programs are shared with the exact pipe.
+    adaptive_tau = os.environ.get("BENCH_ADAPTIVE_TAU", "0.5")
+    M["adaptive_tau"] = float(adaptive_tau)
+    sustained_mode(
+        "adaptive", "sustained_fps_adaptive", "adaptive", 200,
+        lambda: InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
+                                  flow_cache=f"adaptive:{adaptive_tau}",
+                                  decode_window=pipe.decode_window,
+                                  decode_batched=(preset == "tiny"),
+                                  stream_decode=pipe.stream_decode))
+
+    # -- quality-gated fast family: int8 + static flow caching ---------------
     # (the full composition: flow caching + int8 top-level VAE decode + int8
     # MMDiT linears — measured individually in docs/ARCHITECTURE.md).
-    # Deviations are measured on the structure-shaped weights (fan-in-scaled
-    # normals), not sines — VERDICT r3 #3.
     from dataclasses import replace as _dc_replace
     vcfg_fast = _dc_replace(vcfg, conv_impl="int8")
     fpipe = None
-    if have_budget("fast", 420):
+    if steady_ref_np is None:
+        skip_no_prereq("fast", "no-steady-ref")
+    elif have_budget("fast", 280):
         try:
             fpipe = InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
                                       dtype=dtype, flow_cache="skip_odd",
@@ -422,190 +602,70 @@ def main():
                                       decode_window=pipe.decode_window,
                                       decode_batched=(preset == "tiny"),
                                       stream_decode=pipe.stream_decode)
-            exact_ref = pipe.generate(batch, seed=42)
-            sync(exact_ref["pred_img"])
             t0 = time.time()
-            out_f = fpipe.generate(batch, seed=42)        # compile pass
+            out_f = fpipe.generate(batch, seed=n_chunks)  # compile pass
             sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
             print(f"[bench] fast warmup: {time.time()-t0:.1f}s (incl. compile)",
                   file=sys.stderr)
             del out_f; gc.collect()   # free the warmup output before timing
             t0 = time.time()
-            out_f = fpipe.generate(batch, seed=42)
+            out_f = fpipe.generate(batch, seed=n_chunks)
             sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
             dt_f = time.time() - t0
             M["gen_fps_fast"] = rnd(frames / dt_f)
-            # deviation vs the exact rollout, identical seeds: 8-bit pixel units
+            # deviation vs the exact rollout on the identical seed (the last
+            # steady chunk's host copy): 8-bit pixel units
             dev = np.abs(np.asarray(out_f["pred_img"], np.float32)
-                         - np.asarray(exact_ref["pred_img"], np.float32)) * 127.5
+                         - steady_ref_np) * 127.5
             M["fast_deviation_p95"] = rnd(float(np.percentile(dev, 95)))
             M["fast_deviation_mean"] = rnd(float(dev.mean()))
             print(f"[bench] fast modes (skip_odd + int8 vae + int8 denoise): "
                   f"{dt_f:.2f}s -> {M['gen_fps_fast']:.2f} fps; deviation p95 "
                   f"{M['fast_deviation_p95']:.2f} / mean "
                   f"{M['fast_deviation_mean']:.2f} (8-bit units)", file=sys.stderr)
-            del out_f, exact_ref
+            del out_f
             gc.collect()
+            section_done("fast")
             emit()
         except Exception as e:
             print(f"[bench] fast section failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
-            fpipe = exact_ref = out_f = None
+            fpipe = out_f = None
             gc.collect()
 
     # sustained rate with the fast modes on (same continuous >=3-chunk
-    # rollout; per-chunk deviation quantified above on identical seeds)
-    if fpipe is not None and frames_l is not None and have_budget("fast_sustained", 180):
-        try:
-            t0 = time.time()
-            try:
-                out_sf = fpipe.generate(long_batch, seed=8)   # compile pass (boundaries)
-                sync(out_sf["pred_img"])
-            except Exception as e:
-                # the remote compile helper occasionally drops a response
-                # mid-read ("response body closed…", seen in the r4
-                # shakedown); one retry re-requests the same compiles
-                print(f"[bench] fast sustained warmup retry after "
-                      f"{type(e).__name__}: {e}", file=sys.stderr)
-                out_sf = fpipe.generate(long_batch, seed=8)
-                sync(out_sf["pred_img"])
-            sync(out_sf["pred_disparity"])
-            print(f"[bench] sustained-fast warmup: {time.time()-t0:.1f}s",
-                  file=sys.stderr)
-            del out_sf; gc.collect()
-            t0 = time.time()
-            out_sf = fpipe.generate(long_batch, seed=8)
-            sync(out_sf["pred_img"]); sync(out_sf["pred_disparity"])
-            dt_sf = time.time() - t0
-            M["sustained_fps_fast"] = rnd(frames_l / dt_sf)
-            print(f"[bench] sustained-fast: {frames_l} frames / {dt_sf:.1f}s -> "
-                  f"{M['sustained_fps_fast']:.2f} fps", file=sys.stderr)
-            del out_sf
-            emit()
-        except Exception as e:
-            print(f"[bench] fast sustained failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            out_sf = None
-    fpipe = None
-    gc.collect()
-
-    # -- boundary optimisation: reuse_decoder_cache sustained rate + cost ----
-    # (skips the overlap cache-prime at every chunk boundary by carrying the
-    # decoder's conv caches; deviation vs the exact sustained rollout on the
-    # same seed quantifies the fidelity cost). End-of-chunk decode mode:
-    # pixels equal the streaming reuse mode's, every decode program is
-    # already compiled by the exact pipe, and the streaming rollout's extra
-    # HBM pressure (scripts/probe_mem.py) is avoided.
-    if frames_l is not None and have_budget("reuse", 150):
-        try:
-            rpipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
-                                      decode_window=pipe.decode_window,
-                                      decode_batched=(preset == "tiny"),
-                                      stream_decode=False, reuse_decoder_cache=True)
-            t0 = time.time()
-            out_r = rpipe.generate(long_batch, seed=8)   # compile pass (shared shapes)
-            sync(out_r["pred_img"]); sync(out_r["pred_disparity"])
-            print(f"[bench] reuse warmup: {time.time()-t0:.1f}s", file=sys.stderr)
-            # the reuse rollout carries ~2.8 GB of decoder caches on top of the
-            # 4.9 GB params; free the warmup's 121-frame output before timing
-            del out_r; gc.collect()
-            t0 = time.time()
-            out_r = rpipe.generate(long_batch, seed=8)
-            sync(out_r["pred_img"]); sync(out_r["pred_disparity"])
-            dt_r = time.time() - t0
-            M["sustained_fps_reuse"] = rnd(frames_l / dt_r)
-            dev_r = np.abs(np.asarray(out_r["pred_img"], np.float32)
-                           - out_l_np) * 127.5
-            M["reuse_deviation_p95"] = rnd(float(np.percentile(dev_r, 95)))
-            M["reuse_deviation_mean"] = rnd(float(dev_r.mean()))
-            print(f"[bench] sustained+reuse: {frames_l} frames / {dt_r:.1f}s -> "
-                  f"{M['sustained_fps_reuse']:.2f} fps; deviation p95 "
-                  f"{M['reuse_deviation_p95']:.2f} / mean "
-                  f"{M['reuse_deviation_mean']:.2f} (8-bit units)", file=sys.stderr)
-            del rpipe, out_r
-            emit()
-        except Exception as e:
-            print(f"[bench] reuse section failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            rpipe = out_r = None
-        gc.collect()
-
-    # composed boundary mode: reuse_decoder_cache + carry_latents (skip the
-    # overlap handling AND the rgb carry re-encode; disparity still
-    # re-encodes — pipeline.py carry_latents doc). Shares rpipe's compiled
-    # programs (carry only drops one of the two serial per-row encodes)
-    if frames_l is not None and have_budget("boundary", 120):
-        try:
-            bpipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
-                                      decode_window=pipe.decode_window,
-                                      decode_batched=(preset == "tiny"),
-                                      stream_decode=False, reuse_decoder_cache=True,
-                                      carry_latents=True)
-            t0 = time.time()
-            out_b = bpipe.generate(long_batch, seed=8)    # warm (programs shared)
-            sync(out_b["pred_img"]); sync(out_b["pred_disparity"])
-            print(f"[bench] boundary warmup: {time.time()-t0:.1f}s", file=sys.stderr)
-            del out_b; gc.collect()
-            t0 = time.time()
-            out_b = bpipe.generate(long_batch, seed=8)
-            sync(out_b["pred_img"]); sync(out_b["pred_disparity"])
-            dt_b = time.time() - t0
-            M["sustained_fps_boundary"] = rnd(frames_l / dt_b)
-            dev_b = np.abs(np.asarray(out_b["pred_img"], np.float32) - out_l_np) * 127.5
-            M["boundary_deviation_p95"] = rnd(float(np.percentile(dev_b, 95)))
-            M["boundary_deviation_mean"] = rnd(float(dev_b.mean()))
-            print(f"[bench] sustained+reuse+carry: {frames_l} frames / {dt_b:.1f}s -> "
-                  f"{M['sustained_fps_boundary']:.2f} fps; deviation p95 "
-                  f"{M['boundary_deviation_p95']:.2f} / mean "
-                  f"{M['boundary_deviation_mean']:.2f} (8-bit units)", file=sys.stderr)
-            del bpipe, out_b
-            emit()
-        except Exception as e:
-            print(f"[bench] boundary section failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            bpipe = out_b = None
+    # rollout; per-chunk deviation quantified above on identical seeds).
+    # Reuses fpipe — its per-chunk programs are compiled; the warm pass
+    # inside sustained_mode pays only the boundary (CFG-3, prime) variants.
+    if fpipe is None:
+        skip_no_prereq("fast_sustained", "no-fast-pipe")
+    else:
+        _fpipe = fpipe
+        fpipe = None   # the helper's finally deletes its own reference
+        sustained_mode("fast_sustained", "sustained_fps_fast", None, 150,
+                       lambda: _fpipe)
+        del _fpipe
         gc.collect()
 
     # -- max-throughput composition: every quality-gated mode together -------
     # (flow caching + int8 VAE + int8 denoise + reuse_decoder_cache +
-    # carry_latents — the "as fast as one chip goes" serving preset).
-    if frames_l is not None and have_budget("allfast", 150):
-        try:
-            mpipe = InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
-                                      dtype=dtype, flow_cache="skip_odd",
-                                      denoise_int8=True,
-                                      decode_window=pipe.decode_window,
-                                      decode_batched=(preset == "tiny"),
-                                      stream_decode=False,
-                                      reuse_decoder_cache=True,
-                                      carry_latents=True)
-            t0 = time.time()
-            out_m = mpipe.generate(long_batch, seed=8)    # warm (programs shared)
-            sync(out_m["pred_img"]); sync(out_m["pred_disparity"])
-            print(f"[bench] allfast warmup: {time.time()-t0:.1f}s", file=sys.stderr)
-            del out_m; gc.collect()
-            t0 = time.time()
-            out_m = mpipe.generate(long_batch, seed=8)
-            sync(out_m["pred_img"]); sync(out_m["pred_disparity"])
-            dt_m = time.time() - t0
-            M["sustained_fps_allfast"] = rnd(frames_l / dt_m)
-            dev_m = np.abs(np.asarray(out_m["pred_img"], np.float32)
-                           - out_l_np) * 127.5
-            M["allfast_deviation_p95"] = rnd(float(np.percentile(dev_m, 95)))
-            M["allfast_deviation_mean"] = rnd(float(dev_m.mean()))
-            print(f"[bench] sustained all-fast: {frames_l} frames / {dt_m:.1f}s "
-                  f"-> {M['sustained_fps_allfast']:.2f} fps; deviation p95 "
-                  f"{M['allfast_deviation_p95']:.2f} / mean "
-                  f"{M['allfast_deviation_mean']:.2f} (8-bit units)", file=sys.stderr)
-            del mpipe, out_m
-        except Exception as e:
-            print(f"[bench] all-fast composition failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            mpipe = out_m = None
-        gc.collect()
+    # carry_latents — the "as fast as one chip goes" serving preset). Shares
+    # the fast family's denoise programs; the warm pass compiles the int8
+    # reuse-decode variants.
+    sustained_mode(
+        "allfast", "sustained_fps_allfast", "allfast", 150,
+        lambda: InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
+                                  dtype=dtype, flow_cache="skip_odd",
+                                  denoise_int8=True,
+                                  decode_window=pipe.decode_window,
+                                  decode_batched=(preset == "tiny"),
+                                  stream_decode=False,
+                                  reuse_decoder_cache=True,
+                                  carry_latents=True))
 
     print(f"[bench] done in {time.time()-START:.0f}s "
-          f"(deadline {DEADLINE:.0f}s, skipped: {M['skipped']})", file=sys.stderr)
+          f"(deadline {DEADLINE:.0f}s, sections {json.dumps(M['section_s'])}, "
+          f"skipped: {M['skipped']})", file=sys.stderr)
     emit()
 
 

@@ -133,7 +133,14 @@ def random_params(mcfg: MMDiTConfig, vcfg: VAEConfig, dtype=jnp.bfloat16,
     program compiles in ~2 min at deployment size — the eager per-leaf
     threefry version paid a tunnel round-trip per leaf (~hundreds), and a
     threefry-keyed fused program is compile-bound (scripts/
-    probe_fastparams.py). This is the `--random_weights` cold-start path."""
+    probe_fastparams.py). This is the `--random_weights` cold-start path.
+
+    Reproducibility caveat: unlike threefry, the 'rbg' generator's bit
+    stream is backend- and XLA-version-dependent, so a given seed yields
+    the same weights only within one platform + JAX version. Fine for the
+    smoke/bench use this path serves (structure-shaped stand-ins for
+    unfetchable real weights); anything needing cross-platform seed
+    stability should load a real checkpoint instead."""
     import jax
     from ..models.mmdit import init_mmdit_params
     from ..models.vae import init_vae_params

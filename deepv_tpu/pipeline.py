@@ -372,7 +372,14 @@ class InferencePipeline:
             if head != "adaptive" or (sep and not tau_s) or (tau_s and not sep):
                 raise ValueError(
                     f"flow_cache {flow_cache!r}: expected 'adaptive' or 'adaptive:<tau>'")
-            self.adaptive_tau = jnp.float32(float(tau_s) if sep else 0.3)
+            try:
+                tau = float(tau_s) if sep else 0.3
+            except ValueError:
+                # same crafted message for a non-numeric tau ('adaptive:x') —
+                # float()'s generic text names neither the flag nor the format
+                raise ValueError(
+                    f"flow_cache {flow_cache!r}: expected 'adaptive' or 'adaptive:<tau>'")
+            self.adaptive_tau = jnp.float32(tau)
         elif flow_cache not in ("none", "skip_odd"):
             raise ValueError(
                 f"flow_cache {flow_cache!r}: expected 'none', 'skip_odd', "

@@ -191,7 +191,9 @@ def cli():
     p.add_argument("--add_depth", action="store_true")
     p.add_argument("--add_ply", action="store_true")
     p.add_argument("--random_weights", action="store_true",
-                   help="random-initialise the full model (no checkpoint)")
+                   help="random-initialise the full model (no checkpoint); "
+                        "seeds are stable only within one platform + JAX "
+                        "version (fast 'rbg' PRNG — io/weights.py)")
     p.add_argument("--output_path", default="output/generated_video.mp4")
     p.add_argument("--height", type=int, default=VIDEO_HEIGHT)
     p.add_argument("--width", type=int, default=VIDEO_WIDTH)

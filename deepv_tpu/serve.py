@@ -642,7 +642,9 @@ def cli():
     p.add_argument("--port", type=int, default=8631)
     p.add_argument("--no_need_depth", action="store_true")
     p.add_argument("--random_weights", action="store_true",
-                   help="random-initialise the full model (no checkpoint)")
+                   help="random-initialise the full model (no checkpoint); "
+                        "seeds are stable only within one platform + JAX "
+                        "version (fast 'rbg' PRNG — io/weights.py)")
     p.add_argument("--tp_shards", type=int, default=1,
                    help="shard inference over this many chips (TP denoise + "
                         "spatial-CP VAE); 1 = single device")
