@@ -37,6 +37,14 @@ from ..ops.resample import down2x_bilinear, resize_bilinear
 from ..ops.attention import attention_pallas
 from ..ops.rope import apply_rope, rope_tables, rope_tables_jax
 
+#: the mesh replication pins in ``mmdit_forward`` (GSPMD involuntary-full-
+#: remat fix, MULTICHIP_r03 vs r04). Module-level so the regression test
+#: (tests/test_mesh_remat.py) can compile the UNPINNED program and assert
+#: the warning it exists to prevent actually fires — never flip in
+#: production code. Not part of the jit cache key: callers toggling it must
+#: jax.clear_caches() first.
+MESH_PINS_ENABLED = True
+
 
 # ---------------------------------------------------------------------------
 # positional embeddings (host-side, static)
@@ -351,7 +359,7 @@ def mmdit_forward(cfg: MMDiTConfig, params: dict,
     real tokens, ref mmdit.py:1413-1434). This lets one compiled program
     serve every unit index of the rollout.
     """
-    if mesh is not None:
+    if mesh is not None and MESH_PINS_ENABLED:
         # under a tp mesh, pin the (small, per-clip) latent inputs to
         # replicated BEFORE the 7-D patchify reshape/transpose: GSPMD
         # otherwise back-propagates a tiled sharding from the patchify
@@ -425,7 +433,7 @@ def mmdit_forward(cfg: MMDiTConfig, params: dict,
 
     hidden = _adaln_continuous(params["norm_out"], hidden, temb)
     hidden = linear(hidden, params["proj_out"])
-    if mesh is not None:
+    if mesh is not None and MESH_PINS_ENABLED:
         # under a tp mesh, pin the post-proj tokens to replicated HERE, on
         # the 3-D token tensor (a plain all-gather of the feature axis) —
         # otherwise GSPMD carries the block-propagated sharding into the 7-D
