@@ -261,10 +261,12 @@ def main():
     # throughput configuration: batch-decode at end of chunk (streaming
     # decode — the serving default — trades ~2% throughput for ~6x better
     # time-to-first-frame; set BENCH_STREAM=1 to measure that mode)
+    dwin = int(os.environ.get("BENCH_DECODE_WINDOW", "1"))
+    stream_flag = os.environ.get("BENCH_STREAM") == "1"
     pipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
-                             decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "1")),
+                             decode_window=dwin,
                              decode_batched=(preset == "tiny"),
-                             stream_decode=os.environ.get("BENCH_STREAM") == "1")
+                             stream_decode=stream_flag)
 
     # cheap kernel parity on the real chip BEFORE anything expensive
     if jax.default_backend() == "tpu" or pipe.attn_impl == "pallas":
@@ -491,7 +493,7 @@ def main():
     # vs the exact sustained rollout on the identical seed, then release
     # everything before the next section (HBM discipline)
     def sustained_mode(section: str, fps_key: str, dev_prefix: str,
-                       est_s: float, make_pipe):
+                       est_s: float, make_pipe, after_build=None):
         if frames_l is None:
             skip_no_prereq(section, "no-sustained")
             return
@@ -500,6 +502,8 @@ def main():
         mode_pipe = out_m = None
         try:
             mode_pipe = make_pipe()
+            if after_build is not None:
+                after_build()
             t0 = time.time()
             try:
                 out_m = mode_pipe.generate(long_batch, seed=8)  # compile pass
@@ -555,7 +559,7 @@ def main():
     sustained_mode(
         "reuse", "sustained_fps_reuse", "reuse", 110,
         lambda: InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
-                                  decode_window=pipe.decode_window,
+                                  decode_window=dwin,
                                   decode_batched=(preset == "tiny"),
                                   stream_decode=False, reuse_decoder_cache=True))
 
@@ -567,7 +571,7 @@ def main():
     sustained_mode(
         "boundary", "sustained_fps_boundary", "boundary", 90,
         lambda: InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
-                                  decode_window=pipe.decode_window,
+                                  decode_window=dwin,
                                   decode_batched=(preset == "tiny"),
                                   stream_decode=False, reuse_decoder_cache=True,
                                   carry_latents=True))
@@ -582,9 +586,9 @@ def main():
         "adaptive", "sustained_fps_adaptive", "adaptive", 200,
         lambda: InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
                                   flow_cache=f"adaptive:{adaptive_tau}",
-                                  decode_window=pipe.decode_window,
+                                  decode_window=dwin,
                                   decode_batched=(preset == "tiny"),
-                                  stream_decode=pipe.stream_decode))
+                                  stream_decode=stream_flag))
 
     # -- quality-gated fast family: int8 + static flow caching ---------------
     # (the full composition: flow caching + int8 top-level VAE decode + int8
@@ -599,9 +603,9 @@ def main():
             fpipe = InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
                                       dtype=dtype, flow_cache="skip_odd",
                                       denoise_int8=True,
-                                      decode_window=pipe.decode_window,
+                                      decode_window=dwin,
                                       decode_batched=(preset == "tiny"),
-                                      stream_decode=pipe.stream_decode)
+                                      stream_decode=stream_flag)
             t0 = time.time()
             out_f = fpipe.generate(batch, seed=n_chunks)  # compile pass
             sync(out_f["pred_img"]); sync(out_f["pred_disparity"])
@@ -652,16 +656,30 @@ def main():
     # carry_latents — the "as fast as one chip goes" serving preset). Shares
     # the fast family's denoise programs; the warm pass compiles the int8
     # reuse-decode variants.
+    def _free_exact_refs():
+        # allfast needs every GB of HBM: once its pipe is built, the exact
+        # pipe and the unquantised param tree pin ~3.8 GB of bf16 block
+        # weights the int8 pipe no longer references (the int8 quantiser
+        # drops them, keep_original=False). Without this the composition
+        # OOMs even in an isolated fresh process — scripts/
+        # probe_allfast_mem.py. allfast is the last section, nothing needs
+        # them afterwards.
+        nonlocal pipe, params
+        pipe = None
+        params = None
+        gc.collect()
+
     sustained_mode(
         "allfast", "sustained_fps_allfast", "allfast", 150,
         lambda: InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
                                   dtype=dtype, flow_cache="skip_odd",
                                   denoise_int8=True,
-                                  decode_window=pipe.decode_window,
+                                  decode_window=dwin,
                                   decode_batched=(preset == "tiny"),
                                   stream_decode=False,
                                   reuse_decoder_cache=True,
-                                  carry_latents=True))
+                                  carry_latents=True),
+        after_build=_free_exact_refs)
 
     print(f"[bench] done in {time.time()-START:.0f}s "
           f"(deadline {DEADLINE:.0f}s, sections {json.dumps(M['section_s'])}, "

@@ -25,13 +25,24 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def quantize_linear(params: dict) -> dict:
+def quantize_linear(params: dict, keep_original: bool = True) -> dict:
     """Add ``weight_int8`` [out,in] + ``weight_scale`` [out] to a linear's
-    param dict (torch layout, ops/basic.py invariant)."""
+    param dict (torch layout, ops/basic.py invariant).
+
+    ``keep_original=False`` drops the bf16 ``weight`` from the returned
+    dict: ``ops/basic.linear`` never reads it once ``weight_int8`` is
+    present, and for an inference pipeline the originals are ~3.8 GB of
+    dead HBM at deployment size (the allfast OOM of
+    scripts/probe_allfast_mem.py). The buffers are only actually freed
+    when the caller also releases its own references to the unquantised
+    tree."""
     wf = params["weight"].astype(jnp.float32)
     sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=1) / 127.0, 1e-12)
     w8 = jnp.round(wf / sw[:, None]).astype(jnp.int8)
-    return {**params, "weight_int8": w8, "weight_scale": sw}
+    out = {**params, "weight_int8": w8, "weight_scale": sw}
+    if not keep_original:
+        del out["weight"]
+    return out
 
 
 def linear_int8(x: jnp.ndarray, params: dict) -> jnp.ndarray:
@@ -58,15 +69,16 @@ _BLOCK_LINEAR_KEYS = (
 _FF_KEYS = ("ff", "ff_context")
 
 
-def quantize_mmdit_params(params: dict) -> dict:
+def quantize_mmdit_params(params: dict, keep_original: bool = True) -> dict:
     """Precompute int8 weights/scales for every joint block's attention and
-    feed-forward linears. Returns a rewritten copy; all other entries (and
-    the originals, used by init/checkpointing) are kept."""
+    feed-forward linears. Returns a rewritten copy; all other entries are
+    kept. ``keep_original=False`` (what InferencePipeline passes) drops the
+    bf16 block weights from the quantised tree — see ``quantize_linear``."""
     def quant_ff(ff: dict) -> dict:
         out = dict(ff)
         for k in ("proj", "out"):
             if k in out:
-                out[k] = quantize_linear(out[k])
+                out[k] = quantize_linear(out[k], keep_original)
         return out
 
     blocks = []
@@ -75,7 +87,7 @@ def quantize_mmdit_params(params: dict) -> dict:
         attn = dict(nb["attn"])
         for k in _BLOCK_LINEAR_KEYS:
             if k in attn:
-                attn[k] = quantize_linear(attn[k])
+                attn[k] = quantize_linear(attn[k], keep_original)
         nb["attn"] = attn
         for k in _FF_KEYS:
             if k in nb:

@@ -325,8 +325,13 @@ class InferencePipeline:
         self.denoise_int8 = denoise_int8
         if denoise_int8:
             from .ops.linear_int8 import quantize_mmdit_params
+            # keep_original=False: the quantised tree drops the bf16 block
+            # weights (~3.8 GB at deployment size — ops/basic.linear never
+            # reads them once weight_int8 exists); they stay alive only as
+            # long as the caller holds the unquantised tree
             params = {**params,
-                      "mmdit": quantize_mmdit_params(params["mmdit"])}
+                      "mmdit": quantize_mmdit_params(params["mmdit"],
+                                                     keep_original=False)}
         self.params = params
         self.text_embeds = text_embeds
         self.dtype = dtype

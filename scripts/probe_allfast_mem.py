@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 GB = 1 << 30
-LADDER_GB = (6.0, 5.0, 4.0, 3.0, 2.0, 1.5, 1.0, 0.5)
+LADDER_GB = (8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.5, 1.0, 0.5)
 
 
 def sync(x) -> float:
@@ -93,8 +93,15 @@ def main():
                              flow_cache="skip_odd", denoise_int8=True,
                              decode_window=1, stream_decode=False,
                              reuse_decoder_cache=True, carry_latents=True)
-    print(f"[probe] allfast pipe built; canary {free_hbm_canary():.1f} GB",
-          flush=True)
+    # release the unquantised tree: the int8 pipe dropped the bf16 block
+    # weights (~3.8 GB) from its own tree (keep_original=False), so this
+    # reference is what keeps them on HBM. First probe run (without this +
+    # with the quantiser keeping originals) OOMed on the very first 3-chunk
+    # rollout — the composition's working set NEEDS those GB.
+    del params
+    gc.collect()
+    print(f"[probe] allfast pipe built (bf16 originals released); canary "
+          f"{free_hbm_canary():.1f} GB", flush=True)
 
     img = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, H, W),
                              minval=-1.0, maxval=1.0)
