@@ -23,12 +23,20 @@ driver kill. ``BENCH_DEADLINE_S`` (default 1500 s) is a wall-clock deadline
 from process start; every optional section declares a cost estimate
 (scaled by the measured warmup cost, a tunnel-speed proxy) and is skipped
 (metrics stay null, listed in "skipped" — including when a prerequisite
-section didn't run) once the deadline would be crossed. Sections are
-ordered so the metrics of record land first: steady chunk -> denoise
-itemisation -> ttff -> sustained (+ its phase itemisation) -> the
-reuse/boundary/adaptive deviation modes -> the int8 fast family last.
-``section_s`` records each section's measured wall so the estimates stay
-calibrated against reality.
+section didn't run) once the deadline would be crossed. ONE warmup — a
+full sustained rollout under the sync timer — compiles the steady,
+boundary, and sync-reduce program families together (round 4 paid the
+chunk-1 compile debt twice); sections are ordered so the metrics of
+record land first: steady chunk -> denoise itemisation -> ttff ->
+sustained (+ its phase itemisation) -> the reuse/boundary/adaptive
+deviation modes -> the int8 fast family last. ``sustained_fps_fast`` is
+EXTENDED-ONLY (BENCH_EXTENDED=1): its extra compile debt does not fit the
+driver budget and the allfast section carries the same composition's
+sustained story. ``section_s`` records each section's measured wall so
+the estimates stay calibrated against reality (round-5 trial:
+{"init": 437, "warmup(split)": 619+1071, "steady": 64, "ttff": 121,
+"reuse": 110, "boundary": 107, "adaptive": 363, "fast": 345,
+"allfast": 51} at tunnel scale ~1.9).
 
 ``gen_fps_chip`` is the median of ``BENCH_CHUNKS`` (default 3) timed
 chunks, with the param-init time recorded as ``init_s`` so tunnel-load
@@ -216,7 +224,7 @@ def main():
     # to the compile-heavy section estimates so a slow tunnel day skips
     # sections instead of overrunning the driver kill (VERDICT r4 weak #1)
     est_scale = [1.0]
-    WARMUP_NOMINAL = 330.0
+    WARMUP_NOMINAL = 520.0
 
     def have_budget(section: str, est_s: float, scaled: bool = True) -> bool:
         est = est_s * (est_scale[0] if scaled else 1.0)
@@ -283,22 +291,38 @@ def main():
     # 8-unit action string -> exactly one 57-frame chunk per generate() call
     prompts = np.array(["empty"] + ["Move forward. The perspective hasn't changed."] * 7)
     batch = {"img": img, "prompt": prompts, "prompt_type": "action"}
+    sus_chunks = int(os.environ.get("BENCH_SUSTAINED_CHUNKS", "3"))
+    n_unit_cfg = pcfg.max_temporal_length - pcfg.num_input_unit
+    long_prompts = np.array(
+        ["empty"] + ["Move forward. The perspective hasn't changed."]
+        * (pcfg.max_temporal_length - 1 + (sus_chunks - 1) * n_unit_cfg))
+    long_batch = {"img": img, "prompt": long_prompts, "prompt_type": "action"}
+    # the fidelity-mode sections warm on a 2-chunk rollout: chunk 2 compiles
+    # every boundary program (chunk 3's boundary is program-identical), one
+    # chunk of runtime cheaper than warming on the full rollout
+    warm_prompts = np.array(
+        ["empty"] + ["Move forward. The perspective hasn't changed."]
+        * (pcfg.max_temporal_length - 1 + max(min(sus_chunks, 2) - 1, 0) * n_unit_cfg))
+    warm_batch = {"img": img, "prompt": warm_prompts, "prompt_type": "action"}
 
-    # warmup runs with the sync-timer ON: the per-phase force_completion
-    # reduce programs compile 1-2 s EACH over the tunnel on first use, so
-    # compiling them here (alongside the model programs) keeps the later
-    # sync-timer measurement chunk and the sustained itemisation clean
-    # (CLAUDE.md round-4 note; r3's "encode 13.37 s" artifact)
+    # ONE warmup for everything: a full sustained rollout with the sync
+    # timer ON. This compiles the steady-chunk programs, the chunk-boundary
+    # programs (3-row CFG denoise, cache prime, carry re-encode) AND the
+    # per-phase force_completion reduce programs for both shape families
+    # (each costs 1-2 s on first use over the tunnel — CLAUDE.md; r3's
+    # "encode 13.37 s" artifact), so every later section measures warm
+    # programs. Round 4 warmed the single-chunk and sustained paths
+    # separately and paid the chunk-1 compile debt twice (~250 s).
     pipe.timer = PhaseTimer(sync=True)
     t0 = time.time()
-    out = pipe.generate(batch, seed=0)
+    out = pipe.generate(long_batch, seed=7)
     canary = sync(out["pred_img"])
     sync(out["pred_disparity"])
     warm = time.time() - t0
-    frames = int(out["pred_img"].shape[2])
-    assert math.isfinite(canary), "NaN/inf pixels in the warmup chunk"
-    print(f"[bench] warmup chunk ({frames} frames): {warm:.1f}s (incl. compile)",
-          file=sys.stderr)
+    frames_l = int(out["pred_img"].shape[2])
+    assert math.isfinite(canary), "NaN/inf pixels in the warmup rollout"
+    print(f"[bench] warmup rollout ({sus_chunks} chunks, {frames_l} frames): "
+          f"{warm:.1f}s (incl. compile)", file=sys.stderr)
     est_scale[0] = min(max(warm / WARMUP_NOMINAL, 0.7), 3.0)
     print(f"[bench] tunnel estimate scale: {est_scale[0]:.2f}", file=sys.stderr)
     pipe.timer = PhaseTimer(sync=False)
@@ -308,12 +332,14 @@ def main():
 
     chunk_times = []
     steady_ref_np = None
+    frames = None
     for i in range(n_chunks):
         t0 = time.time()
         out = pipe.generate(batch, seed=i + 1)
         sync(out["pred_img"])
         sync(out["pred_disparity"])
         chunk_times.append(time.time() - t0)
+        frames = int(out["pred_img"].shape[2])
         if i == n_chunks - 1:
             # host copy of the LAST steady chunk: the exact-output reference
             # for the fast section's deviation (same seed there)
@@ -354,7 +380,7 @@ def main():
     # reported p50 is the LARGER (conservative). The streaming window
     # programs are shared with the exact pipe's decode at window 1, so the
     # compile run mostly re-verifies cached programs.
-    if have_budget("ttff", 90):
+    if have_budget("ttff", 55):
         spipe = InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
                                   stream_decode=True)
         ttffs = []
@@ -395,32 +421,14 @@ def main():
     # is measured on the end-of-chunk decode path, like the single-chunk
     # metric of record.
     #
-    # Three rollouts: a sync-timer WARMUP (compiles the boundary programs
-    # AND their sync-reduce shapes; numbers discarded), ONE plain timed
-    # rollout (the metric of record — no best-of-N selection), and ONE
-    # sync-itemised rollout (the phase breakdown backing the saturation
-    # analysis). All raw walls land in sustained_runs_s.
-    sus_chunks = int(os.environ.get("BENCH_SUSTAINED_CHUNKS", "3"))
-    n_unit_cfg = pcfg.max_temporal_length - pcfg.num_input_unit
-    long_prompts = np.array(
-        ["empty"] + ["Move forward. The perspective hasn't changed."]
-        * (pcfg.max_temporal_length - 1 + (sus_chunks - 1) * n_unit_cfg))
-    long_batch = {"img": img, "prompt": long_prompts, "prompt_type": "action"}
-    frames_l = None
+    # Two measurement rollouts (the warmup above was the compile pass):
+    # ONE plain timed rollout (the metric of record — no best-of-N
+    # selection), then ONE sync-itemised rollout (next section). All raw
+    # walls land in sustained_runs_s.
     out_l_np = None
-    if have_budget("sustained", 420):
-        pipe.timer = PhaseTimer(sync=True)
-        t0 = time.time()
-        out_l = pipe.generate(long_batch, seed=7)     # compile pass (boundary programs)
-        canary = sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
-        warm_l = time.time() - t0
-        frames_l = int(out_l["pred_img"].shape[2])
-        assert math.isfinite(canary), "NaN/inf pixels in the sustained rollout"
-        print(f"[bench] sustained warmup ({sus_chunks} chunks, {frames_l} frames): "
-              f"{warm_l:.1f}s (incl. compile)", file=sys.stderr)
-        pipe.timer = PhaseTimer(sync=False)
-        del out_l; gc.collect()   # free the warmup's ~0.3 GB device output
-
+    sustained_ran = False
+    if have_budget("sustained", 50):
+        sustained_ran = True
         t0 = time.time()
         out_l = pipe.generate(long_batch, seed=8)
         sync(out_l["pred_img"]); sync(out_l["pred_disparity"])
@@ -449,9 +457,9 @@ def main():
     # bookkeeping. The synced wall is also recorded as a (labelled) raw
     # sustained sample — syncing serialises dispatch, so it reads slightly
     # high, never low.
-    if frames_l is None:
+    if not sustained_ran:
         skip_no_prereq("itemisation", "no-sustained")
-    elif have_budget("itemisation", 60):
+    elif have_budget("itemisation", 45):
         try:
             pipe.timer = PhaseTimer(sync=True)
             t0 = time.time()
@@ -494,7 +502,7 @@ def main():
     # everything before the next section (HBM discipline)
     def sustained_mode(section: str, fps_key: str, dev_prefix: str,
                        est_s: float, make_pipe, after_build=None):
-        if frames_l is None:
+        if out_l_np is None:
             skip_no_prereq(section, "no-sustained")
             return
         if not have_budget(section, est_s):
@@ -506,7 +514,7 @@ def main():
                 after_build()
             t0 = time.time()
             try:
-                out_m = mode_pipe.generate(long_batch, seed=8)  # compile pass
+                out_m = mode_pipe.generate(warm_batch, seed=8)  # compile pass
                 sync(out_m["pred_img"])
             except Exception as e:
                 # the remote compile helper occasionally drops a response
@@ -514,7 +522,7 @@ def main():
                 # shakedown); one retry re-requests the same compiles
                 print(f"[bench] {section} warmup retry after "
                       f"{type(e).__name__}: {e}", file=sys.stderr)
-                out_m = mode_pipe.generate(long_batch, seed=8)
+                out_m = mode_pipe.generate(warm_batch, seed=8)
                 sync(out_m["pred_img"])
             sync(out_m["pred_disparity"])
             print(f"[bench] {section} warmup: {time.time()-t0:.1f}s",
@@ -557,7 +565,7 @@ def main():
     # family: these deviations are the round's key quality numbers and the
     # section is cheaper (VERDICT r4 #1d).
     sustained_mode(
-        "reuse", "sustained_fps_reuse", "reuse", 110,
+        "reuse", "sustained_fps_reuse", "reuse", 75,
         lambda: InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
                                   decode_window=dwin,
                                   decode_batched=(preset == "tiny"),
@@ -569,7 +577,7 @@ def main():
     # decode programs (carry only drops one of the two serial per-row
     # encodes)
     sustained_mode(
-        "boundary", "sustained_fps_boundary", "boundary", 90,
+        "boundary", "sustained_fps_boundary", "boundary", 70,
         lambda: InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
                                   decode_window=dwin,
                                   decode_batched=(preset == "tiny"),
@@ -583,7 +591,7 @@ def main():
     adaptive_tau = os.environ.get("BENCH_ADAPTIVE_TAU", "0.5")
     M["adaptive_tau"] = float(adaptive_tau)
     sustained_mode(
-        "adaptive", "sustained_fps_adaptive", "adaptive", 200,
+        "adaptive", "sustained_fps_adaptive", "adaptive", 185,
         lambda: InferencePipeline(pcfg, mcfg, vcfg, params, embeds, dtype=dtype,
                                   flow_cache=f"adaptive:{adaptive_tau}",
                                   decode_window=dwin,
@@ -598,7 +606,7 @@ def main():
     fpipe = None
     if steady_ref_np is None:
         skip_no_prereq("fast", "no-steady-ref")
-    elif have_budget("fast", 280):
+    elif have_budget("fast", 185):
         try:
             fpipe = InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
                                       dtype=dtype, flow_cache="skip_odd",
@@ -639,16 +647,23 @@ def main():
 
     # sustained rate with the fast modes on (same continuous >=3-chunk
     # rollout; per-chunk deviation quantified above on identical seeds).
-    # Reuses fpipe — its per-chunk programs are compiled; the warm pass
-    # inside sustained_mode pays only the boundary (CFG-3, prime) variants.
-    if fpipe is None:
-        skip_no_prereq("fast_sustained", "no-fast-pipe")
+    # EXTENDED-ONLY (BENCH_EXTENDED=1): its compile debt (the primed-
+    # boundary int8 decode + CFG-3 int8 denoise variants) does not fit the
+    # driver budget alongside the full default set, and the allfast section
+    # below carries the same composition's sustained story with boundary
+    # modes on. Reuses fpipe — per-chunk programs already compiled.
+    if os.environ.get("BENCH_EXTENDED") == "1":
+        if fpipe is None:
+            skip_no_prereq("fast_sustained", "no-fast-pipe")
+        else:
+            _fpipe = fpipe
+            fpipe = None   # the helper's finally deletes its own reference
+            sustained_mode("fast_sustained", "sustained_fps_fast", None, 160,
+                           lambda: _fpipe)
+            del _fpipe
+            gc.collect()
     else:
-        _fpipe = fpipe
-        fpipe = None   # the helper's finally deletes its own reference
-        sustained_mode("fast_sustained", "sustained_fps_fast", None, 150,
-                       lambda: _fpipe)
-        del _fpipe
+        fpipe = None
         gc.collect()
 
     # -- max-throughput composition: every quality-gated mode together -------
@@ -670,7 +685,7 @@ def main():
         gc.collect()
 
     sustained_mode(
-        "allfast", "sustained_fps_allfast", "allfast", 150,
+        "allfast", "sustained_fps_allfast", "allfast", 220,
         lambda: InferencePipeline(pcfg, mcfg, vcfg_fast, params, embeds,
                                   dtype=dtype, flow_cache="skip_odd",
                                   denoise_int8=True,
