@@ -37,17 +37,31 @@ PAYLOAD = "/tmp/probe_aot_executable.pkl"
 
 def build_args():
     """A deployment-shaped stage-2 denoise scan: the biggest single compile
-    of the serving path (full 24-layer MMDiT, 5 Euler steps, CFG rows=2)."""
+    of the serving path (full 24-layer MMDiT, 5 Euler steps, CFG rows=2).
+    PROBE_TINY=1 swaps in the tiny architecture — same program structure,
+    ~seconds of compile — to answer the MECHANISM question (does
+    serialize/deserialize work over the axon PJRT client and skip the
+    remote compile?) cheaply; the full-size run then only quantifies the
+    savings."""
     from deepv_tpu.config import MMDiTConfig, PipelineConfig
     from deepv_tpu.io.text_embeds import random_text_embeds
     from deepv_tpu.models.mmdit import init_mmdit_params
     from deepv_tpu.models.scheduler import FlowMatchSchedule
     from deepv_tpu.pipeline import _pyramid_list, padded_conditions
 
-    mcfg = MMDiTConfig()
-    mcfg = MMDiTConfig(**{**mcfg.__dict__, "caption_projection_dim": mcfg.inner_dim})
-    pcfg = PipelineConfig()
-    H, W = 384, 512
+    if os.environ.get("PROBE_TINY") == "1":
+        mcfg = MMDiTConfig(
+            sample_size=16, patch_size=2, in_channels=14, num_layers=2,
+            attention_head_dim=8, num_attention_heads=4,
+            caption_projection_dim=32, pooled_projection_dim=16,
+            pos_embed_max_size=32, joint_attention_dim=24)
+        pcfg = PipelineConfig()
+        H, W = 64, 64
+    else:
+        mcfg = MMDiTConfig()
+        mcfg = MMDiTConfig(**{**mcfg.__dict__, "caption_projection_dim": mcfg.inner_dim})
+        pcfg = PipelineConfig()
+        H, W = 384, 512
     lh, lw = H // 8, W // 8
     t0 = time.time()
     params = jax.jit(lambda: init_mmdit_params(
