@@ -31,6 +31,7 @@ from ..config import VAEConfig
 from ..ops.basic import (group_norm, init_conv3d, init_linear, init_norm,
                          linear, silu)
 from ..ops.causal_conv import causal_conv3d
+from ..utils.aot import aot_jit
 
 
 def _get(cache, key):
@@ -391,27 +392,27 @@ def _split_windows(t: int, window: int):
     return sizes
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mode"))
+@functools.partial(aot_jit, static_argnames=("cfg", "mode"))
 def _enc_window(cfg, p, x, cache, mode):
     return encoder_apply(cfg, p, x, cache, mode)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mode"))
+@functools.partial(aot_jit, static_argnames=("cfg", "mode"))
 def _dec_window(cfg, p, z, cache, mode):
     return decoder_apply(cfg, p, z, cache, mode)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mode"))
+@functools.partial(aot_jit, static_argnames=("cfg", "mode"))
 def _dec_front_window(cfg, p, z, cache, mode):
     return decoder_front(cfg, p, z, cache, mode)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(aot_jit, static_argnames=("cfg",))
 def _dec_prime_tail(cfg, p, x):
     return decoder_prime_tail(cfg, p, x)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(aot_jit, static_argnames=("cfg",))
 def _dec_prime_warm(cfg, p, z):
     """The whole chunk-boundary warm as ONE program: per-frame windows
     through the decoder front, then the trailing-suffix prime tail — caches
@@ -523,7 +524,7 @@ def chunk_decode_cont(cfg: VAEConfig, p: dict, z: jnp.ndarray, cache,
     return (out, cache) if return_cache else out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(aot_jit, static_argnames=("cfg",))
 def _dec_scan(cfg, p, stacked_windows, cache):
     """lax.scan over equal-shaped cont windows; carry = conv-cache pytree."""
     def body(c, zw):
@@ -533,7 +534,7 @@ def _dec_scan(cfg, p, stacked_windows, cache):
     return ys, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(aot_jit, static_argnames=("cfg",))
 def _enc_scan(cfg, p, stacked_windows, cache):
     def body(c, xw):
         m, c2 = encoder_apply(cfg, p, xw, c, "cont")

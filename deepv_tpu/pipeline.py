@@ -42,6 +42,7 @@ from .models.vae import (_dec_prime_warm, _dec_window, chunk_decode,
 from .ops.block_noise import sample_block_noise
 from .ops.resample import down2x_bilinear, up2x_nearest
 from .raymap import raymap_from_camera_batch, raymap_to_camera
+from .utils.aot import aot_jit
 from .utils.profiling import PhaseTimer, force_completion
 
 
@@ -135,7 +136,7 @@ def _stage_scan(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=(
+@functools.partial(aot_jit, static_argnames=(
     "mcfg", "num_rows", "history_downsample_ratio", "zero_depth", "attn_impl",
     "recompute", "mesh"))
 def _denoise_stage(mcfg: MMDiTConfig, params, conditions, frame_times, frame_valid,
@@ -159,7 +160,7 @@ def _denoise_stage(mcfg: MMDiTConfig, params, conditions, frame_times, frame_val
                        recompute, adaptive_tau, mesh)
 
 
-@functools.partial(jax.jit, static_argnames=("gamma",))
+@functools.partial(aot_jit, static_argnames=("gamma",))
 def _renoise(latents, key, alpha, beta, gamma: float):
     """Inter-stage nearest-2x upsample + correlated block-noise renoising
     (ref pipeline.py:452-465)."""
@@ -168,7 +169,7 @@ def _renoise(latents, key, alpha, beta, gamma: float):
     return (alpha * up.astype(jnp.float32) + beta * noise).astype(latents.dtype)
 
 
-@jax.jit
+@aot_jit
 def _quantize_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
     """uint8 round trip the reference incurs by converting carry-over frames
     through PIL (ref pipeline.py:338-343); kept for output parity."""

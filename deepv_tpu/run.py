@@ -146,7 +146,11 @@ def main(input_image: str, model_path: str, prompt_type: str = "text",
          output_path: str = "output/generated_video.mp4",
          height: int = VIDEO_HEIGHT, width: int = VIDEO_WIDTH,
          tp_shards: int = 1, icon_assets: str = None, fast: bool = False,
-         flow_cache: str = None, carry_latents: bool = False):
+         flow_cache: str = None, carry_latents: bool = False,
+         aot_cache: str = None):
+    if aot_cache:
+        from .utils.aot import configure as aot_configure
+        aot_configure(aot_cache)
     model_cfg = create_model_config(model_path, no_need_depth=no_need_depth,
                                     use_motion_prompt=(prompt_type == "action"))
 
@@ -215,6 +219,10 @@ def cli():
                    help="flow-caching mode: none | skip_odd | adaptive[:tau] "
                         "(error-bounded adaptive caching; overrides the "
                         "--fast preset's choice)")
+    p.add_argument("--aot_cache", default=None, metavar="DIR",
+                   help="persist compiled executables under DIR across "
+                        "processes (utils/aot.py) — later runs skip the "
+                        "remote compiles")
     args = p.parse_args()
     main(**vars(args))
 

@@ -674,9 +674,18 @@ def cli():
                    help="skip the pre-bind warmup session; the first client "
                         "request then pays the full cold compile (~minutes "
                         "on a fresh process)")
+    p.add_argument("--aot_cache", default=None, metavar="DIR",
+                   help="persist compiled executables under DIR "
+                        "(utils/aot.py): the first launch serializes every "
+                        "pipeline program as prewarm compiles it; later "
+                        "launches deserialize instead of re-paying the "
+                        "remote compiles (~GBs of disk at full size)")
     p.add_argument("--height", type=int, default=384)
     p.add_argument("--width", type=int, default=512)
     args = p.parse_args()
+    if args.aot_cache:
+        from .utils.aot import configure as aot_configure
+        aot_configure(args.aot_cache)
 
     model_cfg = create_model_config(args.model_path,
                                     no_need_depth=args.no_need_depth,
