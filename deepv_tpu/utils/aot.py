@@ -22,9 +22,11 @@ break a run.
 Scope guards: specializations whose statics include a live
 ``jax.sharding.Mesh`` are never AOT-cached (multi-chip executables bake
 device assignments; the single-chip serving path is the target). Cache
-entries key on JAX version + backend platform, so a JAX upgrade or a
-CPU-vs-TPU switch misses cleanly instead of loading an incompatible
-payload.
+entries key on the lowered StableHLO CONTENT plus JAX version + backend
+platform, so editing model code, upgrading JAX, or switching CPU<->TPU
+misses cleanly instead of loading a stale or incompatible payload —
+tracing+lowering on a cache hit costs seconds, two orders of magnitude
+under the remote compile it replaces.
 """
 
 from __future__ import annotations
@@ -132,7 +134,8 @@ class _AotFn:
             if any(_is_mesh(v) for v in statics.values()):
                 return self._jit(*args, **kwargs)
             leaves, treedef = jax.tree.flatten((dyn_args, dyn_kw))
-            memkey = (tuple(sorted(statics.items())), str(treedef),
+            # treedef objects hash in C++ — much cheaper per call than str()
+            memkey = (tuple(sorted(statics.items())), treedef,
                       tuple(_leaf_desc(x) for x in leaves))
         except TypeError:            # unhashable static value
             return self._jit(*args, **kwargs)
@@ -149,19 +152,31 @@ class _AotFn:
 
     # -- disk layer ----------------------------------------------------------
 
-    def _disk_key(self, memkey) -> str:
-        statics, treedef_s, leafdescs = memkey
+    def _disk_key(self, memkey, lowered) -> str:
+        """CONTENT-keyed: hashes the lowered StableHLO alongside the
+        signature, so editing model code between processes misses cleanly
+        instead of silently loading a stale executable. Tracing+lowering
+        costs seconds per program — two orders of magnitude under the
+        remote compile it replaces."""
+        statics, treedef, leafdescs = memkey
         backend = _state["backend"] or jax.default_backend()
-        desc = repr((_KEY_VERSION, jax.__version__, backend, self._name,
-                     [(k, repr(v)) for k, v in statics], treedef_s, leafdescs))
-        return hashlib.sha256(desc.encode()).hexdigest()[:20]
-
-    def _path(self, memkey) -> str:
-        return os.path.join(_state["dir"],
-                            f"{self._name}-{self._disk_key(memkey)}.aotx")
+        h = hashlib.sha256(repr(
+            (_KEY_VERSION, jax.__version__, backend, self._name,
+             [(k, repr(v)) for k, v in statics], str(treedef),
+             leafdescs)).encode())
+        h.update(lowered.as_text().encode())
+        return h.hexdigest()[:20]
 
     def _load_or_build(self, memkey, args, kwargs):
-        path = self._path(memkey)
+        try:
+            lowered = self._jit.lower(*args, **kwargs)
+        except Exception as e:
+            log.warning("aot: lower of %s failed (%s: %s); falling back to "
+                        "jax.jit", self._name, type(e).__name__, e)
+            self._broken = True
+            return None
+        path = os.path.join(
+            _state["dir"], f"{self._name}-{self._disk_key(memkey, lowered)}.aotx")
         if os.path.exists(path):
             try:
                 from jax.experimental.serialize_executable import (
@@ -184,9 +199,9 @@ class _AotFn:
                 log.warning("aot: load of %s failed (%s: %s); recompiling",
                             path, type(e).__name__, e)
         try:
-            compiled = self._jit.lower(*args, **kwargs).compile()
+            compiled = lowered.compile()
         except Exception as e:
-            log.warning("aot: lower/compile of %s failed (%s: %s); "
+            log.warning("aot: compile of %s failed (%s: %s); "
                         "falling back to jax.jit", self._name,
                         type(e).__name__, e)
             self._broken = True

@@ -25,6 +25,30 @@ def aot_dir(tmp_path):
     aot.configure(None)
 
 
+class _NoCompileJit:
+    """Delegates lower() (cheap tracing, needed for the content key) but
+    fails the test if anything tries to COMPILE."""
+
+    def __init__(self, real):
+        self._real = real
+
+    def lower(self, *a, **k):
+        lowered = self._real.lower(*a, **k)
+
+        class _L:
+            def as_text(self, *a2, **k2):
+                return lowered.as_text(*a2, **k2)
+
+            def compile(self):
+                raise AssertionError("recompiled instead of loading the "
+                                     "AOT cache")
+
+        return _L()
+
+    def __call__(self, *a, **k):
+        raise AssertionError("fell back to plain jit")
+
+
 def _mk_fn():
     @aot.aot_jit(static_argnames=("n",))
     def poly(x, n, y):
@@ -55,18 +79,10 @@ def test_compile_saves_and_second_process_loads(aot_dir):
     assert len(files) == 1, files
 
     # simulate the fresh process: new _AotFn (empty memo), a jit stub that
-    # refuses to compile — the only way to a correct answer is the disk blob
+    # still lowers (content keying needs the HLO) but refuses to compile —
+    # the only way to a correct answer is the disk blob
     poly2 = _mk_fn()
-
-    class _NoCompile:
-        def lower(self, *a, **k):
-            raise AssertionError("fresh process recompiled instead of "
-                                 "loading the AOT cache")
-
-        def __call__(self, *a, **k):
-            raise AssertionError("fell back to plain jit")
-
-    poly2._jit = _NoCompile()
+    poly2._jit = _NoCompileJit(poly2._jit)
     out2 = poly2(x, 2, y)
     np.testing.assert_allclose(np.asarray(out2), ref, rtol=1e-6)
 
@@ -123,10 +139,27 @@ def test_corrupt_entry_recompiles(aot_dir):
     poly2 = _mk_fn()   # fresh memo -> hits the corrupt disk entry
     out = poly2(x, 2, y)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6)
-    # the corrupt entry was replaced by a good one
+    # the corrupt entry was replaced by a loadable one
     poly3 = _mk_fn()
-    poly3._jit = None  # would crash if load failed
+    poly3._jit = _NoCompileJit(poly3._jit)
     np.testing.assert_allclose(np.asarray(poly3(x, 2, y)), ref, rtol=1e-6)
+
+
+def test_content_change_misses_cleanly(aot_dir):
+    """Same name+signature, different math -> the HLO content key must MISS
+    (a signature-only key would silently run the stale executable)."""
+    @aot.aot_jit(static_argnames=("n",))
+    def h(x, n):
+        return x + float(n)
+    a = np.asarray(h(jnp.ones((3,)), 2))
+    np.testing.assert_allclose(a, 3.0)
+
+    @aot.aot_jit(static_argnames=("n",))   # same __name__ 'h', new body
+    def h(x, n):
+        return x * float(n)
+    b = np.asarray(h(jnp.ones((3,)), 2))
+    np.testing.assert_allclose(b, 2.0)
+    assert len(glob.glob(os.path.join(aot_dir, "h-*.aotx"))) == 2
 
 
 def test_tiny_pipeline_outputs_match_plain_jit(aot_dir):
