@@ -171,6 +171,18 @@ def main():
     preset = os.environ.get("BENCH_PRESET", "full")
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "3"))
 
+    # Cross-process AOT executable cache (utils/aot.py): with a warm cache
+    # the ~200 s param-init compile and the ~700 s program warmup become
+    # deserializes, which is what lets every section fit one driver-budget
+    # run. Cold-cache runs pay a few extra seconds per program to
+    # serialize. BENCH_AOT_CACHE=0 disables; entries are content-keyed
+    # (lowered HLO), so stale caches miss cleanly after code edits.
+    aot_dir = os.environ.get("BENCH_AOT_CACHE", "/tmp/deepv_aot_bench")
+    if aot_dir and aot_dir != "0":
+        from deepv_tpu.utils.aot import configure as aot_configure
+        aot_configure(aot_dir)
+        print(f"[bench] AOT executable cache: {aot_dir}", file=sys.stderr)
+
     if preset == "tiny":
         mcfg = MMDiTConfig(num_layers=2, num_attention_heads=4,
                            caption_projection_dim=256, joint_attention_dim=128,

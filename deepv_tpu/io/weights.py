@@ -144,16 +144,20 @@ def random_params(mcfg: MMDiTConfig, vcfg: VAEConfig, dtype=jnp.bfloat16,
     import jax
     from ..models.mmdit import init_mmdit_params
     from ..models.vae import init_vae_params
+    from ..utils.aot import aot_jit
 
-    @jax.jit
-    def build():
+    # aot_jit (== jax.jit until utils/aot.configure) lets the ~2 min init
+    # compile persist across processes: with a warm executable cache the
+    # whole 2.43 B-param build is a deserialize + one device dispatch
+    @aot_jit
+    def _random_params_build():
         k1, k2 = jax.random.split(jax.random.key(seed, impl="rbg"))
         return {
             "mmdit": init_mmdit_params(k1, mcfg, dtype=dtype),
             "vae": init_vae_params(k2, vcfg, dtype=dtype),
         }
 
-    return build()
+    return _random_params_build()
 
 
 def convert_text_embeds_pt(pt_path: str, npz_path: str) -> None:

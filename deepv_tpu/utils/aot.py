@@ -134,9 +134,15 @@ class _AotFn:
             if any(_is_mesh(v) for v in statics.values()):
                 return self._jit(*args, **kwargs)
             leaves, treedef = jax.tree.flatten((dyn_args, dyn_kw))
+            # device identity: multi-stream serving commits each stream's
+            # arrays to its own chip; executables bind to devices, so the
+            # key must separate them (first array leaf is representative —
+            # mixed-device calls would fail under plain jit too)
+            dev = next((tuple(sorted(d.id for d in x.devices()))
+                        for x in leaves if hasattr(x, "devices")), None)
             # treedef objects hash in C++ — much cheaper per call than str()
             memkey = (tuple(sorted(statics.items())), treedef,
-                      tuple(_leaf_desc(x) for x in leaves))
+                      tuple(_leaf_desc(x) for x in leaves), dev)
         except TypeError:            # unhashable static value
             return self._jit(*args, **kwargs)
         compiled = self._mem.get(memkey)
@@ -158,12 +164,12 @@ class _AotFn:
         instead of silently loading a stale executable. Tracing+lowering
         costs seconds per program — two orders of magnitude under the
         remote compile it replaces."""
-        statics, treedef, leafdescs = memkey
+        statics, treedef, leafdescs, dev = memkey
         backend = _state["backend"] or jax.default_backend()
         h = hashlib.sha256(repr(
             (_KEY_VERSION, jax.__version__, backend, self._name,
              [(k, repr(v)) for k, v in statics], str(treedef),
-             leafdescs)).encode())
+             leafdescs, dev)).encode())
         h.update(lowered.as_text().encode())
         return h.hexdigest()[:20]
 
@@ -184,14 +190,18 @@ class _AotFn:
                 with open(path, "rb") as fh:
                     blob = pickle.load(fh)
                 platform = blob.get("platform")
-                # pin to ONE device: without execution_devices the executable
-                # binds to every addressable device of the client (observed
-                # on the 8-dev virtual CPU mesh: "expected 8 shards").
-                # Multi-device programs never reach this path (mesh bypass).
-                devs = jax.local_devices(backend=platform)
+                # pin to the ORIGINAL device(s): without execution_devices
+                # the executable binds to every addressable device of the
+                # client (observed on the 8-dev virtual CPU mesh: "expected
+                # 8 shards"); with them, a multi-stream server's per-chip
+                # entries land back on their own chips. Multi-device mesh
+                # programs never reach this path (mesh bypass).
+                devs = {d.id: d for d in jax.local_devices(backend=platform)}
+                want = blob.get("device_ids") or [min(devs)]
                 compiled = deserialize_and_load(
                     blob["payload"], blob["in_tree"], blob["out_tree"],
-                    backend=platform, execution_devices=devs[:1])
+                    backend=platform,
+                    execution_devices=[devs[i] for i in want])
                 log.info("aot: loaded %s (%.1f MB)", os.path.basename(path),
                          os.path.getsize(path) / 1e6)
                 return compiled
@@ -213,6 +223,7 @@ class _AotFn:
             with open(tmp, "wb") as fh:
                 pickle.dump({"payload": payload, "in_tree": in_tree,
                              "out_tree": out_tree,
+                             "device_ids": list(memkey[3] or ()),
                              "platform": _state["backend"]
                              or jax.default_backend()}, fh)
             os.replace(tmp, path)

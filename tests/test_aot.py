@@ -184,3 +184,26 @@ def test_tiny_pipeline_outputs_match_plain_jit(aot_dir):
     aot.configure(aot_dir, backend="cpu")
     out2 = np.asarray(tiny_pipeline().generate(make_batch(), seed=3)["pred_img"])
     np.testing.assert_allclose(out2, ref, atol=2e-5, rtol=0)
+
+
+def test_per_device_entries(aot_dir):
+    """Multi-stream serving: inputs committed to another chip must get their
+    own cache entry and execute there (executables bind to devices)."""
+    cpus = jax.devices("cpu")
+
+    @aot.aot_jit
+    def double(x):
+        return x * 2
+
+    x0 = jax.device_put(jnp.ones((4,)), cpus[0])
+    x1 = jax.device_put(jnp.ones((4,)), cpus[1])
+    o0, o1 = double(x0), double(x1)
+    assert list(o0.devices())[0] == cpus[0]
+    assert list(o1.devices())[0] == cpus[1]
+    np.testing.assert_allclose(np.asarray(o1), 2.0)
+    assert len(glob.glob(os.path.join(aot_dir, "double-*.aotx"))) == 2
+
+    # a fresh memo (new process stand-in) loads the cpu1 entry back to cpu1
+    aot.configure(aot_dir, backend="cpu")
+    o1b = double(x1)
+    assert list(o1b.devices())[0] == cpus[1]
