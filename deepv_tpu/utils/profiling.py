@@ -16,15 +16,24 @@ from typing import Dict, Optional
 
 import jax
 
+from .aot import aot_jit
+
+
+@aot_jit
+def _first_scalar(leaf):
+    import jax.numpy as jnp
+    return jnp.sum(jnp.ravel(leaf)[:1].astype(jnp.float32))
+
 
 def force_completion(x) -> None:
     """Truly wait for a device value. ``block_until_ready`` is a no-op on
     this image's axon (TPU tunnel) backend, so we reduce to a scalar on
-    device and fetch it — a few ms of overhead, correct everywhere."""
-    import jax.numpy as jnp
+    device and fetch it — a few ms of overhead, correct everywhere.
+    One jitted program per shape (first use costs a ~1-2 s tunnel compile;
+    aot_jit makes it a disk hit in later processes — utils/aot.py)."""
     for leaf in jax.tree.leaves(x):
         if hasattr(leaf, "dtype"):
-            float(jnp.sum(jnp.ravel(leaf)[:1].astype(jnp.float32)))
+            float(_first_scalar(leaf))
 
 
 class PhaseTimer:
