@@ -626,6 +626,12 @@ def prewarm(pipe: InferencePipeline, height: int = 384, width: int = 512,
     dt = time.time() - t0
     log(f"[serve] prewarm: {n_steps} units (one chunk + boundary) "
         f"compiled+run in {dt:.1f}s")
+    from .utils import aot
+    if aot.cache_dir() is not None:
+        s = aot.stats()
+        log(f"[serve] aot cache: {s['loaded']} executables deserialized "
+            f"({s['loaded_mb']} MB), {s['compiled']} compiled+serialized "
+            f"({aot.cache_dir()})")
     return dt
 
 

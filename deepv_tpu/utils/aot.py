@@ -45,20 +45,25 @@ import jax
 log = logging.getLogger(__name__)
 
 _KEY_VERSION = "aot-v1"
-_state = {"dir": None, "backend": None}
+_state = {"dir": None, "backend": None, "max_bytes": None,
+          "loaded": 0, "compiled": 0, "loaded_mb": 0.0}
 _registry = []   # every _AotFn, so configure() can reset their memo tables
 
 
-def configure(cache_dir: Optional[str], backend: Optional[str] = None) -> None:
+def configure(cache_dir: Optional[str], backend: Optional[str] = None,
+              max_bytes: Optional[int] = None) -> None:
     """Enable (or, with ``None``, disable) the on-disk executable cache.
 
     ``backend``: PJRT platform name for deserialization (default: the
-    process's default backend). Call before the first pipeline dispatch;
-    re-configuring resets the in-memory memo tables."""
+    process's default backend). ``max_bytes``: evict oldest-used entries
+    past this total size after each save (full-size programs are
+    ~0.1-0.3 GB each; stale content-keyed entries accumulate as code
+    changes). Call before the first pipeline dispatch; re-configuring
+    resets the in-memory memo tables and the load/compile stats."""
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
-    _state["dir"] = cache_dir
-    _state["backend"] = backend
+    _state.update(dir=cache_dir, backend=backend, max_bytes=max_bytes,
+                  loaded=0, compiled=0, loaded_mb=0.0)
     for f in _registry:
         f._mem.clear()
         f._broken = False
@@ -66,6 +71,44 @@ def configure(cache_dir: Optional[str], backend: Optional[str] = None) -> None:
 
 def cache_dir() -> Optional[str]:
     return _state["dir"]
+
+
+def stats() -> dict:
+    """This process's cache activity since configure(): executables
+    deserialized from disk vs compiled (and serialized), and MB read."""
+    return {"loaded": _state["loaded"], "compiled": _state["compiled"],
+            "loaded_mb": round(_state["loaded_mb"], 1)}
+
+
+def _evict_to_budget(keep: str) -> None:
+    """Oldest-accessed-first eviction past max_bytes; the entry just
+    written (``keep``) is never evicted, so the cap can only trim OTHER
+    (stale) entries."""
+    if not _state["max_bytes"] or _state["dir"] is None:
+        return
+    entries = []
+    for name in os.listdir(_state["dir"]):
+        if name.endswith(".aotx"):
+            p = os.path.join(_state["dir"], name)
+            if os.path.abspath(p) == os.path.abspath(keep):
+                continue
+            try:
+                st = os.stat(p)
+                entries.append((st.st_atime, st.st_size, p))
+            except OSError:
+                pass
+    total = sum(s for _, s, _ in entries) + os.path.getsize(keep)
+    for atime, size, p in sorted(entries):
+        if total <= _state["max_bytes"]:
+            break
+        try:
+            os.remove(p)
+            total -= size
+            log.info("aot: evicted %s (%.1f MB, cache over %.0f MB cap)",
+                     os.path.basename(p), size / 1e6,
+                     _state["max_bytes"] / 1e6)
+        except OSError:
+            pass
 
 
 def _leaf_desc(x) -> Tuple:
@@ -202,14 +245,18 @@ class _AotFn:
                     blob["payload"], blob["in_tree"], blob["out_tree"],
                     backend=platform,
                     execution_devices=[devs[i] for i in want])
-                log.info("aot: loaded %s (%.1f MB)", os.path.basename(path),
-                         os.path.getsize(path) / 1e6)
+                mb = os.path.getsize(path) / 1e6
+                _state["loaded"] += 1
+                _state["loaded_mb"] += mb
+                log.info("aot: loaded %s (%.1f MB)",
+                         os.path.basename(path), mb)
                 return compiled
             except Exception as e:       # stale/corrupt entry: recompile
                 log.warning("aot: load of %s failed (%s: %s); recompiling",
                             path, type(e).__name__, e)
         try:
             compiled = lowered.compile()
+            _state["compiled"] += 1
         except Exception as e:
             log.warning("aot: compile of %s failed (%s: %s); "
                         "falling back to jax.jit", self._name,
@@ -229,6 +276,7 @@ class _AotFn:
             os.replace(tmp, path)
             log.info("aot: saved %s (%.1f MB)", os.path.basename(path),
                      os.path.getsize(path) / 1e6)
+            _evict_to_budget(path)
         except Exception as e:           # serialization unsupported: still
             log.warning("aot: serialize of %s failed (%s: %s); executable "
                         "used uncached", self._name, type(e).__name__, e)

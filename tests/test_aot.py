@@ -207,3 +207,19 @@ def test_per_device_entries(aot_dir):
     aot.configure(aot_dir, backend="cpu")
     o1b = double(x1)
     assert list(o1b.devices())[0] == cpus[1]
+
+
+def test_stats_and_eviction(tmp_path):
+    d = str(tmp_path / "capped")
+    aot.configure(d, backend="cpu", max_bytes=1)   # evict everything but new
+    poly = _mk_fn()
+    x, y = jnp.ones((4, 4)), jnp.eye(4)
+    poly(x, 1, y)
+    s = aot.stats()
+    assert s["compiled"] == 1 and s["loaded"] == 0
+    poly(x, 2, y)   # saving the 2nd entry evicts past the 1-byte cap
+    assert len(glob.glob(os.path.join(d, "*.aotx"))) == 1
+    aot.configure(d, backend="cpu")   # fresh memo: the survivor loads
+    poly(x, 2, y)
+    assert aot.stats()["loaded"] == 1
+    aot.configure(None)
